@@ -1,0 +1,138 @@
+"""EnCodec compression model — the north-star audio tokenizer, functional JAX.
+
+Mirrors the behavior of ``/root/reference/audiocraft/models/encodec.py``:
+* ``CompressionModel`` contract (encodec.py:28-122): encode -> (codes [B,K,T],
+  scale), decode, decode_latent, frame_rate/sample_rate/cardinality props.
+* ``EncodecModel`` (encodec.py:125-259): optional RMS renormalization
+  (preprocess, :186-204), SEANet encode, RVQ, SEANet decode with length trim
+  (forward, :206-221).
+
+TPU notes: ``encode``/``decode`` are pure functions of (params, state, x) and
+jit cleanly; batch elements shard over the data axis of a mesh with codebook
+tables replicated.  All compute is fp32 on the parity path with an optional
+bf16 policy for the conv stacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.seanet import SEANetDecoder, SEANetEncoder
+from ..quant.vq import QuantizedResult, RVQState, ResidualVectorQuantizer
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodecModel:
+    encoder: SEANetEncoder
+    decoder: SEANetDecoder
+    quantizer: ResidualVectorQuantizer
+    frame_rate: float = 50.0
+    sample_rate: int = 32000
+    channels: int = 1
+    causal: bool = False
+    renormalize: bool = False
+
+    def __post_init__(self):
+        if self.causal:
+            assert not self.renormalize, 'Causal model does not support renormalize'
+
+    # -- CompressionModel properties ----------------------------------------
+    @property
+    def total_codebooks(self) -> int:
+        return self.quantizer.max_n_q
+
+    @property
+    def num_codebooks(self) -> int:
+        return self.quantizer.n_q
+
+    @property
+    def cardinality(self) -> int:
+        return self.quantizer.bins
+
+    def set_num_codebooks(self, n: int) -> "EncodecModel":
+        assert 0 < n <= self.quantizer.max_n_q
+        return dataclasses.replace(
+            self, quantizer=dataclasses.replace(self.quantizer, n_q=n))
+
+    # -- params -------------------------------------------------------------
+    def init(self, key: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            'encoder': self.encoder.init(k1),
+            'decoder': self.decoder.init(k2),
+            'quantizer': self.quantizer.init(k3),
+        }
+
+    # -- pre/post-processing (reference encodec.py:186-204) -----------------
+    def preprocess(self, x: jax.Array) -> tp.Tuple[jax.Array, tp.Optional[jax.Array]]:
+        if self.renormalize:
+            mono = jnp.mean(x, axis=1, keepdims=True)
+            volume = jnp.sqrt(jnp.mean(jnp.square(mono), axis=2, keepdims=True))
+            scale = 1e-8 + volume
+            x = x / scale
+            scale = scale.reshape(-1, 1)
+        else:
+            scale = None
+        return x, scale
+
+    def postprocess(self, x: jax.Array,
+                    scale: tp.Optional[jax.Array] = None) -> jax.Array:
+        if scale is not None:
+            assert self.renormalize
+            x = x * scale.reshape(-1, 1, 1)
+        return x
+
+    # -- core ---------------------------------------------------------------
+    def encode(self, params: dict, x: jax.Array
+               ) -> tp.Tuple[jax.Array, tp.Optional[jax.Array]]:
+        """x: [B, C, T] float -> (codes [B, K, T_frames] int32, scale)."""
+        assert x.ndim == 3
+        x, scale = self.preprocess(x)
+        emb = self.encoder(params['encoder'], x)
+        state = RVQState(**params['quantizer']) if isinstance(params['quantizer'], dict) \
+            else params['quantizer']
+        codes = self.quantizer.encode(state, emb)
+        return codes, scale
+
+    def decode(self, params: dict, codes: jax.Array,
+               scale: tp.Optional[jax.Array] = None) -> jax.Array:
+        """codes: [B, K, T_frames] -> waveform [B, C, T] (includes padding)."""
+        emb = self.decode_latent(params, codes)
+        out = self.decoder(params['decoder'], emb)
+        return self.postprocess(out, scale)
+
+    def decode_latent(self, params: dict, codes: jax.Array) -> jax.Array:
+        state = RVQState(**params['quantizer']) if isinstance(params['quantizer'], dict) \
+            else params['quantizer']
+        return self.quantizer.decode(state, codes)
+
+    def forward(self, params: dict, x: jax.Array, *,
+                key: tp.Optional[jax.Array] = None, training: bool = False,
+                n_q_active: tp.Optional[jax.Array] = None,
+                axis_name: tp.Optional[str] = None
+                ) -> tp.Tuple[QuantizedResult, dict]:
+        """Training/eval forward with reconstruction (reference encodec.py:206-221).
+
+        Returns the QuantizedResult whose ``x`` is the reconstructed waveform
+        trimmed to the input length, plus updated params (EMA state).
+        """
+        assert x.ndim == 3
+        length = x.shape[-1]
+        x, scale = self.preprocess(x)
+        emb = self.encoder(params['encoder'], x)
+        state = RVQState(**params['quantizer']) if isinstance(params['quantizer'], dict) \
+            else params['quantizer']
+        q_res, new_state = self.quantizer.forward(
+            state, emb, self.frame_rate, key=key, training=training,
+            n_q_active=n_q_active, axis_name=axis_name)
+        out = self.decoder(params['decoder'], q_res.x)
+        assert out.shape[-1] >= length, (out.shape[-1], length)
+        out = out[..., :length]
+        q_res = q_res.replace(x=self.postprocess(out, scale))
+        new_params = dict(params)
+        new_params['quantizer'] = new_state
+        return q_res, new_params

@@ -1,0 +1,251 @@
+"""Streamable 1d convolutions with exact Audiocraft padding semantics.
+
+TPU-first design notes
+----------------------
+* All shapes are static at trace time, so every padding amount is a Python int
+  computed from the (static) input length — there is no dynamic-shape logic for
+  XLA to choke on.
+* Convolutions lower to ``lax.conv_general_dilated`` which XLA tiles onto the
+  MXU; transposed convolutions are expressed as lhs-dilated convolutions with a
+  flipped/transposed kernel (mathematically identical to torch's
+  ``ConvTranspose1d`` with padding=0).
+* Weight normalization is handled at checkpoint-import time (the effective
+  weight ``g * v / ||v||`` is materialized); an optional reparameterized form is
+  provided for training.
+
+Behavioral parity with the reference implementation
+(``/root/reference/audiocraft/modules/conv.py``):
+* ``get_extra_padding_for_conv1d`` (conv.py:47-54): pad so the last conv window
+  is full.
+* ``pad1d`` (conv.py:72-89): reflect-pad with zero-extension when the input is
+  shorter than the padding (small-input edge case).
+* ``unpad1d`` (conv.py:92-98).
+* ``StreamableConv1d.forward`` (conv.py:187-203): causal => all padding left;
+  non-causal => asymmetric split with the *larger* half on the left.
+* ``StreamableConvTranspose1d.forward`` (conv.py:227-245): trim ``k - s`` total
+  padding from the output, split per ``trim_right_ratio`` (causal) or
+  asymmetrically (non-causal).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def get_extra_padding_for_conv1d(length: int, kernel_size: int, stride: int,
+                                 padding_total: int = 0) -> int:
+    """Extra right-padding so that the last conv window is full.
+
+    Pure integer math on static lengths (cf. reference conv.py:47-54).
+    """
+    n_frames = (length - kernel_size + padding_total) / stride + 1
+    ideal_length = (math.ceil(n_frames) - 1) * stride + (kernel_size - padding_total)
+    return ideal_length - length
+
+
+def pad1d(x: jax.Array, paddings: tp.Tuple[int, int], mode: str = 'constant',
+          value: float = 0.) -> jax.Array:
+    """Pad the last axis, supporting reflect padding on inputs shorter than the pad.
+
+    When ``mode == 'reflect'`` and the signal is shorter than the largest pad,
+    zeros are appended on the right before reflecting, and the extension is
+    stripped afterwards (cf. reference conv.py:72-89).
+    """
+    length = x.shape[-1]
+    padding_left, padding_right = paddings
+    assert padding_left >= 0 and padding_right >= 0, (padding_left, padding_right)
+    nd = x.ndim
+    if mode == 'reflect':
+        max_pad = max(padding_left, padding_right)
+        extra_pad = 0
+        if length <= max_pad:
+            extra_pad = max_pad - length + 1
+            cfg = [(0, 0)] * (nd - 1) + [(0, extra_pad)]
+            x = jnp.pad(x, cfg)
+        cfg = [(0, 0)] * (nd - 1) + [(padding_left, padding_right)]
+        padded = jnp.pad(x, cfg, mode='reflect')
+        end = padded.shape[-1] - extra_pad
+        return padded[..., :end]
+    cfg = [(0, 0)] * (nd - 1) + [(padding_left, padding_right)]
+    return jnp.pad(x, cfg, mode='constant', constant_values=value)
+
+
+def unpad1d(x: jax.Array, paddings: tp.Tuple[int, int]) -> jax.Array:
+    padding_left, padding_right = paddings
+    assert padding_left >= 0 and padding_right >= 0, (padding_left, padding_right)
+    assert (padding_left + padding_right) <= x.shape[-1]
+    end = x.shape[-1] - padding_right
+    return x[..., padding_left:end]
+
+
+def conv1d(x: jax.Array, weight: jax.Array, bias: tp.Optional[jax.Array] = None,
+           stride: int = 1, dilation: int = 1, groups: int = 1) -> jax.Array:
+    """Plain valid (no padding) 1d convolution, NCT layout, torch Conv1d semantics.
+
+    weight: [out_channels, in_channels // groups, kernel]
+    """
+    dn = lax.conv_dimension_numbers(x.shape, weight.shape, ('NCH', 'OIH', 'NCH'))
+    y = lax.conv_general_dilated(
+        x, weight, window_strides=(stride,), padding=((0, 0),),
+        rhs_dilation=(dilation,), dimension_numbers=dn,
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        y = y + bias[None, :, None]
+    return y
+
+
+def conv_transpose1d(x: jax.Array, weight: jax.Array,
+                     bias: tp.Optional[jax.Array] = None,
+                     stride: int = 1) -> jax.Array:
+    """Valid transposed 1d convolution, torch ConvTranspose1d semantics (padding=0).
+
+    weight: [in_channels, out_channels, kernel] (torch layout).
+    Implemented as an lhs-dilated convolution with the kernel flipped along time
+    and in/out axes swapped — the adjoint of ``conv1d``.
+    """
+    k = weight.shape[-1]
+    w = jnp.swapaxes(weight, 0, 1)[:, :, ::-1]  # [out, in, k], flipped
+    dn = lax.conv_dimension_numbers(x.shape, w.shape, ('NCH', 'OIH', 'NCH'))
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=((k - 1, k - 1),),
+        lhs_dilation=(stride,), dimension_numbers=dn,
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        y = y + bias[None, :, None]
+    return y
+
+
+def weight_norm_effective(v: jax.Array, g: jax.Array) -> jax.Array:
+    """Effective weight for torch-style weight normalization over dim 0.
+
+    ``w = g * v / ||v||`` with the norm over all axes but the first.
+    Used both by the reparameterized training path and the checkpoint importer.
+    """
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / norm
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamableConv1d:
+    """Conv1d with built-in causal / asymmetric padding (reference conv.py:167-203).
+
+    Stores plain weights; normalization choices other than 'none'/'weight_norm'
+    ('time_group_norm') attach a GroupNorm after the conv.
+    """
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    bias: bool = True
+    causal: bool = False
+    norm: str = 'none'
+    pad_mode: str = 'reflect'
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        fan_in = self.in_channels * self.kernel_size // self.groups
+        bound = 1.0 / math.sqrt(fan_in)
+        params = {
+            'weight': jax.random.uniform(
+                k1, (self.out_channels, self.in_channels // self.groups, self.kernel_size),
+                minval=-bound, maxval=bound, dtype=jnp.float32),
+        }
+        if self.bias:
+            params['bias'] = jax.random.uniform(
+                k2, (self.out_channels,), minval=-bound, maxval=bound, dtype=jnp.float32)
+        if self.norm == 'time_group_norm':
+            params['gn_scale'] = jnp.ones((self.out_channels,), jnp.float32)
+            params['gn_bias'] = jnp.zeros((self.out_channels,), jnp.float32)
+        return params
+
+    @property
+    def effective_kernel_size(self) -> int:
+        return (self.kernel_size - 1) * self.dilation + 1
+
+    def output_length(self, length: int) -> int:
+        """Static output length for a given (static) input length."""
+        ks = self.effective_kernel_size
+        padding_total = ks - self.stride
+        extra = get_extra_padding_for_conv1d(length, ks, self.stride, padding_total)
+        padded = length + padding_total + extra
+        return (padded - ks) // self.stride + 1
+
+    def __call__(self, params: dict, x: jax.Array) -> jax.Array:
+        ks = self.effective_kernel_size
+        padding_total = ks - self.stride
+        extra_padding = get_extra_padding_for_conv1d(
+            x.shape[-1], ks, self.stride, padding_total)
+        if self.causal:
+            x = pad1d(x, (padding_total, extra_padding), mode=self.pad_mode)
+        else:
+            padding_right = padding_total // 2
+            padding_left = padding_total - padding_right
+            x = pad1d(x, (padding_left, padding_right + extra_padding), mode=self.pad_mode)
+        y = conv1d(x, params['weight'], params.get('bias'),
+                   stride=self.stride, dilation=self.dilation, groups=self.groups)
+        if self.norm == 'time_group_norm':
+            # GroupNorm(1, C): normalize over (C, T) jointly per batch element.
+            mean = jnp.mean(y, axis=(1, 2), keepdims=True)
+            var = jnp.var(y, axis=(1, 2), keepdims=True)
+            y = (y - mean) * lax.rsqrt(var + 1e-5)
+            y = y * params['gn_scale'][None, :, None] + params['gn_bias'][None, :, None]
+        return y
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamableConvTranspose1d:
+    """ConvTranspose1d with right-trim handling (reference conv.py:206-245)."""
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    causal: bool = False
+    norm: str = 'none'
+    trim_right_ratio: float = 1.
+    bias: bool = True
+
+    def __post_init__(self):
+        assert self.causal or self.trim_right_ratio == 1., \
+            "`trim_right_ratio` != 1.0 only makes sense for causal convolutions"
+        assert 0. <= self.trim_right_ratio <= 1.
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        fan_in = self.in_channels * self.kernel_size
+        bound = 1.0 / math.sqrt(fan_in)
+        params = {
+            # torch ConvTranspose1d layout: [in, out, kernel]
+            'weight': jax.random.uniform(
+                k1, (self.in_channels, self.out_channels, self.kernel_size),
+                minval=-bound, maxval=bound, dtype=jnp.float32),
+        }
+        if self.bias:
+            params['bias'] = jax.random.uniform(
+                k2, (self.out_channels,), minval=-bound, maxval=bound, dtype=jnp.float32)
+        return params
+
+    def output_length(self, length: int) -> int:
+        full = (length - 1) * self.stride + self.kernel_size
+        return full - (self.kernel_size - self.stride)
+
+    def __call__(self, params: dict, x: jax.Array) -> jax.Array:
+        padding_total = self.kernel_size - self.stride
+        y = conv_transpose1d(x, params['weight'], params.get('bias'), stride=self.stride)
+        if self.causal:
+            padding_right = math.ceil(padding_total * self.trim_right_ratio)
+            padding_left = padding_total - padding_right
+        else:
+            padding_right = padding_total // 2
+            padding_left = padding_total - padding_right
+        return unpad1d(y, (padding_left, padding_right))

@@ -1,0 +1,277 @@
+"""SEANet encoder/decoder — the EnCodec convolutional front-end, functional JAX.
+
+Topology parity with ``/root/reference/audiocraft/modules/seanet.py``:
+* Encoder (seanet.py:63-153): init conv -> per downsampling ratio
+  [n_residual x ResnetBlock, activation, strided conv (kernel = 2*ratio) doubling
+  channels] -> optional LSTM -> activation -> final conv to `dimension`.
+  Ratios are applied in *reversed* order of the decoder's list.
+* Decoder (seanet.py:156-258): mirror with transposed convs halving channels
+  and an optional final activation.
+* Resnet block (seanet.py:16-62): [act, conv(k, dilation), act, conv(1)] with a
+  bottleneck `dim // compress`, plus identity (true_skip) or 1x1-conv shortcut.
+* `disable_norm_outer_blocks` counts from the input side of the encoder and the
+  output side of the decoder (seanet.py:106-120, 146, 208-246).
+
+The whole stack is a static Python composition of `StreamableConv1d` /
+`StreamableConvTranspose1d` / `StreamableLSTM` calls — XLA sees one flat graph
+of convolutions and fuses the ELU elementwise ops into them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .activations import get_activation_fn
+from .conv import StreamableConv1d, StreamableConvTranspose1d
+from .lstm import StreamableLSTM
+
+
+def _act(name: str, params: dict):
+    # torch activations are classes (e.g. nn.ELU); configs carry torch names.
+    name = name.lower()
+    fn = get_activation_fn(name)
+    alpha = params.get('alpha', 1.0)
+    if name == 'elu':
+        return lambda x: jax.nn.elu(x, alpha)
+    return fn
+
+
+@dataclasses.dataclass(frozen=True)
+class SEANetResnetBlock:
+    dim: int
+    kernel_sizes: tp.Tuple[int, ...] = (3, 1)
+    dilations: tp.Tuple[int, ...] = (1, 1)
+    activation: str = 'ELU'
+    activation_alpha: float = 1.0
+    norm: str = 'none'
+    causal: bool = False
+    pad_mode: str = 'reflect'
+    compress: int = 2
+    true_skip: bool = True
+
+    def _convs(self) -> tp.List[StreamableConv1d]:
+        hidden = self.dim // self.compress
+        convs = []
+        n = len(self.kernel_sizes)
+        for i, (ks, dil) in enumerate(zip(self.kernel_sizes, self.dilations)):
+            in_chs = self.dim if i == 0 else hidden
+            out_chs = self.dim if i == n - 1 else hidden
+            convs.append(StreamableConv1d(
+                in_chs, out_chs, kernel_size=ks, dilation=dil, norm=self.norm,
+                causal=self.causal, pad_mode=self.pad_mode))
+        return convs
+
+    def init(self, key: jax.Array) -> dict:
+        convs = self._convs()
+        keys = jax.random.split(key, len(convs) + 1)
+        params = {f'conv{i}': c.init(keys[i]) for i, c in enumerate(convs)}
+        if not self.true_skip:
+            shortcut = StreamableConv1d(self.dim, self.dim, kernel_size=1,
+                                        norm=self.norm, causal=self.causal,
+                                        pad_mode=self.pad_mode)
+            params['shortcut'] = shortcut.init(keys[-1])
+        return params
+
+    def __call__(self, params: dict, x: jax.Array) -> jax.Array:
+        act = _act(self.activation, {'alpha': self.activation_alpha})
+        y = x
+        for i, conv in enumerate(self._convs()):
+            y = act(y)
+            y = conv(params[f'conv{i}'], y)
+        if self.true_skip:
+            shortcut = x
+        else:
+            sc = StreamableConv1d(self.dim, self.dim, kernel_size=1, norm=self.norm,
+                                  causal=self.causal, pad_mode=self.pad_mode)
+            shortcut = sc(params['shortcut'], x)
+        return shortcut + y
+
+
+@dataclasses.dataclass(frozen=True)
+class SEANetEncoder:
+    channels: int = 1
+    dimension: int = 128
+    n_filters: int = 32
+    n_residual_layers: int = 3
+    ratios: tp.Tuple[int, ...] = (8, 5, 4, 2)  # decoder order; reversed internally
+    activation: str = 'ELU'
+    activation_alpha: float = 1.0
+    norm: str = 'none'
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_base: int = 2
+    causal: bool = False
+    pad_mode: str = 'reflect'
+    true_skip: bool = True
+    compress: int = 2
+    lstm: int = 0
+    disable_norm_outer_blocks: int = 0
+
+    @property
+    def enc_ratios(self) -> tp.Tuple[int, ...]:
+        return tuple(reversed(self.ratios))
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.ratios))
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.ratios) + 2
+
+    def _layers(self):
+        """Static layer list: sequence of ('conv'|'res'|'lstm'|'act', module)."""
+        assert 0 <= self.disable_norm_outer_blocks <= self.n_blocks
+        layers: tp.List[tp.Tuple[str, tp.Any]] = []
+        mult = 1
+        norm0 = 'none' if self.disable_norm_outer_blocks >= 1 else self.norm
+        layers.append(('conv', StreamableConv1d(
+            self.channels, mult * self.n_filters, self.kernel_size, norm=norm0,
+            causal=self.causal, pad_mode=self.pad_mode)))
+        for i, ratio in enumerate(self.enc_ratios):
+            block_norm = 'none' if self.disable_norm_outer_blocks >= i + 2 else self.norm
+            for j in range(self.n_residual_layers):
+                layers.append(('res', SEANetResnetBlock(
+                    mult * self.n_filters,
+                    kernel_sizes=(self.residual_kernel_size, 1),
+                    dilations=(self.dilation_base ** j, 1),
+                    norm=block_norm, activation=self.activation,
+                    activation_alpha=self.activation_alpha,
+                    causal=self.causal, pad_mode=self.pad_mode,
+                    compress=self.compress, true_skip=self.true_skip)))
+            layers.append(('act', None))
+            layers.append(('conv', StreamableConv1d(
+                mult * self.n_filters, mult * self.n_filters * 2,
+                kernel_size=ratio * 2, stride=ratio, norm=block_norm,
+                causal=self.causal, pad_mode=self.pad_mode)))
+            mult *= 2
+        if self.lstm:
+            layers.append(('lstm', StreamableLSTM(mult * self.n_filters,
+                                                  num_layers=self.lstm)))
+        normN = 'none' if self.disable_norm_outer_blocks == self.n_blocks else self.norm
+        layers.append(('act', None))
+        layers.append(('conv', StreamableConv1d(
+            mult * self.n_filters, self.dimension, self.last_kernel_size,
+            norm=normN, causal=self.causal, pad_mode=self.pad_mode)))
+        return layers
+
+    def init(self, key: jax.Array) -> dict:
+        layers = self._layers()
+        keys = jax.random.split(key, len(layers))
+        params = {}
+        for i, (kind, mod) in enumerate(layers):
+            if kind != 'act':
+                params[f'layer{i}'] = mod.init(keys[i])
+        return params
+
+    def __call__(self, params: dict, x: jax.Array) -> jax.Array:
+        act = _act(self.activation, {'alpha': self.activation_alpha})
+        for i, (kind, mod) in enumerate(self._layers()):
+            if kind == 'act':
+                x = act(x)
+            else:
+                x = mod(params[f'layer{i}'], x)
+        return x
+
+    def output_length(self, length: int) -> int:
+        for kind, mod in self._layers():
+            if kind == 'conv':
+                length = mod.output_length(length)
+        return length
+
+
+@dataclasses.dataclass(frozen=True)
+class SEANetDecoder:
+    channels: int = 1
+    dimension: int = 128
+    n_filters: int = 32
+    n_residual_layers: int = 3
+    ratios: tp.Tuple[int, ...] = (8, 5, 4, 2)
+    activation: str = 'ELU'
+    activation_alpha: float = 1.0
+    final_activation: tp.Optional[str] = None
+    norm: str = 'none'
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_base: int = 2
+    causal: bool = False
+    pad_mode: str = 'reflect'
+    true_skip: bool = True
+    compress: int = 2
+    lstm: int = 0
+    disable_norm_outer_blocks: int = 0
+    trim_right_ratio: float = 1.0
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.ratios))
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.ratios) + 2
+
+    def _layers(self):
+        assert 0 <= self.disable_norm_outer_blocks <= self.n_blocks
+        layers: tp.List[tp.Tuple[str, tp.Any]] = []
+        mult = int(2 ** len(self.ratios))
+        norm0 = 'none' if self.disable_norm_outer_blocks == self.n_blocks else self.norm
+        layers.append(('conv', StreamableConv1d(
+            self.dimension, mult * self.n_filters, self.kernel_size, norm=norm0,
+            causal=self.causal, pad_mode=self.pad_mode)))
+        if self.lstm:
+            layers.append(('lstm', StreamableLSTM(mult * self.n_filters,
+                                                  num_layers=self.lstm)))
+        for i, ratio in enumerate(self.ratios):
+            block_norm = ('none' if self.disable_norm_outer_blocks >= self.n_blocks - (i + 1)
+                          else self.norm)
+            layers.append(('act', None))
+            layers.append(('convtr', StreamableConvTranspose1d(
+                mult * self.n_filters, mult * self.n_filters // 2,
+                kernel_size=ratio * 2, stride=ratio, norm=block_norm,
+                causal=self.causal, trim_right_ratio=self.trim_right_ratio)))
+            for j in range(self.n_residual_layers):
+                layers.append(('res', SEANetResnetBlock(
+                    mult * self.n_filters // 2,
+                    kernel_sizes=(self.residual_kernel_size, 1),
+                    dilations=(self.dilation_base ** j, 1),
+                    activation=self.activation,
+                    activation_alpha=self.activation_alpha,
+                    norm=block_norm, causal=self.causal, pad_mode=self.pad_mode,
+                    compress=self.compress, true_skip=self.true_skip)))
+            mult //= 2
+        normN = 'none' if self.disable_norm_outer_blocks >= 1 else self.norm
+        layers.append(('act', None))
+        layers.append(('conv', StreamableConv1d(
+            self.n_filters, self.channels, self.last_kernel_size, norm=normN,
+            causal=self.causal, pad_mode=self.pad_mode)))
+        if self.final_activation is not None:
+            layers.append(('final_act', None))
+        return layers
+
+    def init(self, key: jax.Array) -> dict:
+        layers = self._layers()
+        keys = jax.random.split(key, len(layers))
+        params = {}
+        for i, (kind, mod) in enumerate(layers):
+            if kind not in ('act', 'final_act'):
+                params[f'layer{i}'] = mod.init(keys[i])
+        return params
+
+    def __call__(self, params: dict, z: jax.Array) -> jax.Array:
+        act = _act(self.activation, {'alpha': self.activation_alpha})
+        x = z
+        for i, (kind, mod) in enumerate(self._layers()):
+            if kind == 'act':
+                x = act(x)
+            elif kind == 'final_act':
+                x = get_activation_fn(self.final_activation.lower())(x)
+            else:
+                x = mod(params[f'layer{i}'], x)
+        return x
