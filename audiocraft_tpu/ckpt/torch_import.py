@@ -151,3 +151,73 @@ def import_encodec(model, sd: StateDict) -> dict:
         "decoder": import_seanet(model.decoder, sd, "decoder"),
         "quantizer": import_rvq(sd, model.quantizer.n_q, "quantizer"),
     }
+
+
+# --------------------------------------------------------------------------
+# Transformer / LM import (reference audiocraft/modules/transformer.py and
+# audiocraft/models/lm.py key layouts)
+# --------------------------------------------------------------------------
+
+def _linear(sd: StateDict, prefix: str) -> dict:
+    out = {"weight": np.asarray(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def import_attention(sd: StateDict, prefix: str) -> dict:
+    params = {
+        "in_proj_weight": np.asarray(sd[f"{prefix}.in_proj_weight"]),
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+    if f"{prefix}.in_proj_bias" in sd:
+        params["in_proj_bias"] = np.asarray(sd[f"{prefix}.in_proj_bias"])
+    if f"{prefix}.q_layer_norm.weight" in sd:
+        params["q_layer_norm"] = _linear(sd, f"{prefix}.q_layer_norm")
+        params["k_layer_norm"] = _linear(sd, f"{prefix}.k_layer_norm")
+    return params
+
+
+def import_transformer_layer(sd: StateDict, prefix: str) -> dict:
+    params = {
+        "self_attn": import_attention(sd, f"{prefix}.self_attn"),
+        "norm1": _linear(sd, f"{prefix}.norm1"),
+        "norm2": _linear(sd, f"{prefix}.norm2"),
+        "linear1": _linear(sd, f"{prefix}.linear1"),
+        "linear2": _linear(sd, f"{prefix}.linear2"),
+    }
+    if f"{prefix}.cross_attention.in_proj_weight" in sd:
+        params["cross_attention"] = import_attention(sd, f"{prefix}.cross_attention")
+        params["norm_cross"] = _linear(sd, f"{prefix}.norm_cross")
+    if f"{prefix}.layer_scale_1.scale" in sd:
+        params["layer_scale_1"] = np.asarray(sd[f"{prefix}.layer_scale_1.scale"])
+        params["layer_scale_2"] = np.asarray(sd[f"{prefix}.layer_scale_2.scale"])
+        if f"{prefix}.layer_scale_cross.scale" in sd:
+            params["layer_scale_cross"] = np.asarray(
+                sd[f"{prefix}.layer_scale_cross.scale"])
+    return params
+
+
+def import_transformer(sd: StateDict, num_layers: int, prefix: str = "") -> dict:
+    p = prefix and prefix.rstrip(".") + "."
+    return {f"layer{i}": import_transformer_layer(sd, f"{p}layers.{i}")
+            for i in range(num_layers)}
+
+
+def import_lm(model, sd: StateDict) -> dict:
+    """Import a reference LMModel state dict. `model` is our LMModel config."""
+    n_q = model.n_q
+    params = {
+        "emb": np.stack([np.asarray(sd[f"emb.{k}.weight"]) for k in range(n_q)]),
+        "transformer": import_transformer(sd, model.num_layers, "transformer"),
+        "linears": {
+            "weight": np.stack([np.asarray(sd[f"linears.{k}.weight"])
+                                for k in range(n_q)]),
+        },
+    }
+    if "linears.0.bias" in sd:
+        params["linears"]["bias"] = np.stack(
+            [np.asarray(sd[f"linears.{k}.bias"]) for k in range(n_q)])
+    if "out_norm.weight" in sd:
+        params["out_norm"] = _linear(sd, "out_norm")
+    return params

@@ -1,0 +1,327 @@
+"""MusicGen transformer LM on multiple codebook streams — functional JAX.
+
+Re-design of ``/root/reference/audiocraft/models/lm.py`` (LMModel):
+* Per-codebook embeddings are one stacked ``[K, card+1, dim]`` table summed
+  via gather (lm.py:165,244); per-codebook output heads one stacked
+  ``[K, dim, card]`` einsum (lm.py:174,262).
+* ``compute_predictions`` (lm.py:270-321): pattern-build -> forward ->
+  pattern-revert with NaN specials.
+* ``generate`` (lm.py:420-588): the S-step AR loop becomes prefill (one
+  forward over the prompt chunk) + a ``lax.scan`` over single decode steps
+  with fixed-shape KV caches — zero host syncs in the loop, one compile per
+  (B, prompt-bucket, max_gen_len) shape.
+* Classifier-free guidance by batch-doubling (lm.py:389-399): conditional and
+  null conditions stacked on the batch axis, logits recombined as
+  ``uncond + coef * (cond - uncond)``.
+
+Weight init matches lm.py:37-96 (gaussian/uniform with optional depthwise
+rescaling) so from-scratch training starts from the same distribution family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from flax import struct
+
+from ..cond.fuser import ConditionFuser, ConditionType
+from ..nn.transformer import KVCache, StreamingTransformer, layer_norm
+from ..patterns.pattern import CodebooksPatternProvider
+from .sampling import sample_token
+
+
+@struct.dataclass
+class LMOutput:
+    logits: jax.Array  # [B, K, T, card]
+    mask: jax.Array    # [B, K, T]
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class LMModel:
+    pattern_provider: CodebooksPatternProvider
+    fuser: ConditionFuser
+    n_q: int = 8
+    card: int = 1024
+    dim: int = 128
+    num_heads: int = 8
+    num_layers: int = 8
+    hidden_scale: int = 4
+    norm_first: bool = False
+    bias_proj: bool = True
+    cross_attention: bool = False
+    causal: bool = True
+    past_context: tp.Optional[int] = None
+    positional_embedding: str = 'sin'
+    layer_scale: tp.Optional[float] = None
+    two_step_cfg: bool = False
+    cfg_coef: float = 3.0
+    weight_init: tp.Optional[str] = None
+    depthwise_init: tp.Optional[str] = None
+    zero_bias_init: bool = False
+    bias_ff: bool = True
+    bias_attn: bool = True
+    qk_layer_norm: bool = False
+    qk_layer_norm_cross: bool = False
+    kv_repeat: int = 1
+    activation: str = 'gelu'
+    checkpointing: bool = False
+
+    @property
+    def special_token_id(self) -> int:
+        return self.card
+
+    @property
+    def num_codebooks(self) -> int:
+        return self.n_q
+
+    @property
+    def transformer(self) -> StreamingTransformer:
+        return StreamingTransformer(
+            d_model=self.dim, num_heads=self.num_heads, num_layers=self.num_layers,
+            dim_feedforward=int(self.hidden_scale * self.dim),
+            causal=self.causal, past_context=self.past_context,
+            cross_attention=self.cross_attention, layer_scale=self.layer_scale,
+            positional_embedding=self.positional_embedding,
+            norm_first=self.norm_first, bias_ff=self.bias_ff,
+            bias_attn=self.bias_attn, qk_layer_norm=self.qk_layer_norm,
+            qk_layer_norm_cross=self.qk_layer_norm_cross,
+            kv_repeat=self.kv_repeat, activation=self.activation,
+            checkpointing=self.checkpointing)
+
+    # ------------------------------------------------------------------ init
+    def init(self, key: jax.Array) -> dict:
+        embed_dim = self.card + 1
+        k_emb, k_tr, k_out = jax.random.split(key, 3)
+        params = {
+            'emb': self._init_emb(k_emb, embed_dim),
+            'transformer': self.transformer.init(k_tr),
+            'linears': self._init_linears(k_out),
+        }
+        if self.norm_first:
+            params['out_norm'] = {'weight': jnp.ones((self.dim,)),
+                                  'bias': jnp.zeros((self.dim,))}
+        return params
+
+    def _std(self, input_dim: int, depth: tp.Optional[int]) -> float:
+        std = 1 / math.sqrt(input_dim)
+        if depth is not None:
+            std = std / math.sqrt(2 * depth)
+        return std
+
+    def _init_emb(self, key: jax.Array, embed_dim: int) -> jax.Array:
+        std = self._std(self.dim, None)
+        if self.weight_init == 'gaussian':
+            w = std * jax.random.truncated_normal(
+                key, -3.0, 3.0, (self.n_q, embed_dim, self.dim))
+        elif self.weight_init == 'uniform':
+            bound = math.sqrt(3) * std
+            w = jax.random.uniform(key, (self.n_q, embed_dim, self.dim),
+                                   minval=-bound, maxval=bound)
+        else:
+            w = jax.random.normal(key, (self.n_q, embed_dim, self.dim))
+        return w
+
+    def _init_linears(self, key: jax.Array) -> dict:
+        std = self._std(self.dim, None)
+        if self.weight_init == 'uniform':
+            bound = math.sqrt(3) * std
+            w = jax.random.uniform(key, (self.n_q, self.card, self.dim),
+                                   minval=-bound, maxval=bound)
+        else:
+            w = std * jax.random.truncated_normal(
+                key, -3.0, 3.0, (self.n_q, self.card, self.dim))
+        out = {'weight': w}
+        if self.bias_proj:
+            out['bias'] = jnp.zeros((self.n_q, self.card))
+        return out
+
+    def init_cache(self, batch: int, capacity: int, dtype=jnp.float32):
+        return self.transformer.init_cache(batch, capacity, dtype)
+
+    # --------------------------------------------------------------- forward
+    def embed_sequence(self, params: dict, sequence: jax.Array) -> jax.Array:
+        """sequence: [B, K, S] int -> summed embeddings [B, S, dim]."""
+        emb = params['emb']  # [K, card+1, dim]
+        gathered = jax.vmap(lambda table, ids: jnp.take(table, ids, axis=0),
+                            in_axes=(0, 1), out_axes=1)(emb, sequence)
+        # gathered: [B, K, S, dim] -> sum over K
+        return jnp.sum(gathered, axis=1)
+
+    def apply_heads(self, params: dict, out: jax.Array) -> jax.Array:
+        """out: [B, S, dim] -> logits [B, K, S, card]."""
+        w = params['linears']['weight']  # [K, card, dim]
+        logits = jnp.einsum('bsd,kcd->bksc', out, w,
+                            preferred_element_type=jnp.float32)
+        if 'bias' in params['linears']:
+            logits = logits + params['linears']['bias'][None, :, None, :]
+        return logits
+
+    def forward(self, params: dict, sequence: jax.Array,
+                condition_tensors: tp.Dict[str, ConditionType],
+                caches: tp.Optional[tp.Tuple[KVCache, ...]] = None,
+                cross_kv: tp.Optional[tuple] = None,
+                first_step: bool = True,
+                ) -> tp.Tuple[jax.Array, tp.Optional[tp.Tuple[KVCache, ...]]]:
+        """sequence: [B, K, S] -> logits [B, K, S, card] (reference lm.py:221-268)."""
+        B, K, S = sequence.shape
+        assert K == self.num_codebooks
+        input_ = self.embed_sequence(params, sequence)
+        input_, cross_src = self.fuser(input_, condition_tensors,
+                                       first_step=first_step)
+        if cross_kv is not None:
+            cross_src = None
+        out, new_caches = self.transformer(
+            params['transformer'], input_, caches=caches,
+            cross_attention_src=cross_src, cross_kv=cross_kv)
+        if 'out_norm' in params:
+            out = layer_norm(out, **params['out_norm'])
+        logits = self.apply_heads(params, out)
+        if self.fuser.has_prepend:
+            logits = logits[:, :, -S:]
+        return logits, new_caches
+
+    def compute_predictions(self, params: dict, codes: jax.Array,
+                            condition_tensors: tp.Dict[str, ConditionType],
+                            keep_only_valid_steps: bool = True) -> LMOutput:
+        """Training forward through the interleaving pattern (lm.py:270-321)."""
+        B, K, T = codes.shape
+        pattern = self.pattern_provider.get_pattern(T)
+        sequence_codes, _, _ = pattern.build_pattern_sequence(
+            codes, self.special_token_id, keep_only_valid_steps=keep_only_valid_steps)
+        logits, _ = self.forward(params, sequence_codes, condition_tensors)
+        logits = jnp.transpose(logits, (0, 3, 1, 2))  # [B, card, K, S]
+        logits, _, logits_mask = pattern.revert_pattern_logits(
+            logits, float('nan'), keep_only_valid_steps=keep_only_valid_steps)
+        logits = jnp.transpose(logits, (0, 2, 3, 1))  # [B, K, T, card]
+        mask = jnp.broadcast_to(jnp.asarray(logits_mask)[None], (B, K, T))
+        return LMOutput(logits=logits, mask=mask)
+
+    # -------------------------------------------------------------- generate
+    def _combine_cfg(self, all_logits: jax.Array, B: int, has_cfg: bool,
+                     cfg_coef: float) -> jax.Array:
+        if not has_cfg:
+            return all_logits
+        cond_logits = all_logits[:B]
+        uncond_logits = all_logits[B:2 * B]
+        return uncond_logits + (cond_logits - uncond_logits) * cfg_coef
+
+    def generate(self, params: dict, key: jax.Array,
+                 prompt: tp.Optional[jax.Array] = None,
+                 condition_tensors: tp.Optional[tp.Dict[str, ConditionType]] = None,
+                 num_samples: int = 1,
+                 max_gen_len: int = 256,
+                 use_sampling: bool = True,
+                 temp: float = 1.0,
+                 top_k: int = 250,
+                 top_p: float = 0.0,
+                 cfg_coef: tp.Optional[float] = None,
+                 remove_prompts: bool = False,
+                 ) -> jax.Array:
+        """AR generation over the pattern sequence (reference lm.py:420-588).
+
+        ``condition_tensors``, when provided for CFG, must already contain the
+        concatenated [conditions; null_conditions] along the batch axis (the
+        reference builds this at lm.py:500-509); the model input is batch-
+        doubled accordingly.  Returns codes [B, K, max_gen_len] (prompt
+        included unless ``remove_prompts``).
+        """
+        cfg_coef = self.cfg_coef if cfg_coef is None else cfg_coef
+        if prompt is None:
+            prompt = jnp.zeros((num_samples, self.num_codebooks, 0), jnp.int32)
+        B, K, T = prompt.shape
+        start_offset = T
+        assert start_offset < max_gen_len
+
+        pattern = self.pattern_provider.get_pattern(max_gen_len)
+        unknown_token = -1
+        gen_codes = jnp.full((B, K, max_gen_len), unknown_token, jnp.int32)
+        if T > 0:
+            gen_codes = gen_codes.at[..., :T].set(prompt.astype(jnp.int32))
+        gen_sequence, _, mask_np = pattern.build_pattern_sequence(
+            gen_codes, self.special_token_id)
+        S = gen_sequence.shape[-1]
+        mask = jnp.asarray(mask_np)  # [K, S]
+
+        start_offset_sequence = pattern.get_first_step_with_timesteps(start_offset)
+        assert start_offset_sequence is not None
+
+        has_cfg = condition_tensors is not None and len(condition_tensors) > 0
+        if condition_tensors is None:
+            condition_tensors = {}
+        model_batch = 2 * B if has_cfg else B
+
+        # capacity: S steps + prepended conditioning length
+        prepend_len = 0
+        if self.fuser.has_prepend and has_cfg:
+            for name in self.fuser.fuse_list('prepend'):
+                if name in condition_tensors:
+                    prepend_len += condition_tensors[name][0].shape[1]
+        capacity = S + prepend_len
+        caches = self.init_cache(model_batch, capacity)
+
+        cross_kv = None
+        if self.cross_attention and condition_tensors:
+            _, cross_src = self.fuser(
+                jnp.zeros((model_batch, 1, self.dim)), condition_tensors,
+                first_step=False)
+            if cross_src is not None:
+                cross_kv = self.transformer.precompute_cross_kv(
+                    params['transformer'], cross_src)
+
+        def model_step(seq_chunk, caches, first_step):
+            """seq_chunk: [B, K, s]; returns logits [B, K, s, card] after CFG."""
+            doubled = jnp.concatenate([seq_chunk, seq_chunk], axis=0) \
+                if has_cfg else seq_chunk
+            logits, new_caches = self.forward(
+                params, doubled, condition_tensors, caches=caches,
+                cross_kv=cross_kv, first_step=first_step)
+            logits = self._combine_cfg(logits, B, has_cfg, cfg_coef)
+            return logits, new_caches
+
+        keys = jax.random.split(key, S)
+
+        # ---- prefill over [0, start_offset_sequence) --------------------
+        S0 = start_offset_sequence
+        prefill_seq = gen_sequence[..., :S0]
+        logits, caches = model_step(prefill_seq, caches, first_step=True)
+        last_logits = logits[:, :, -1, :]  # [B, K, card]
+
+        def write_token(gen_sequence, offset, logits, skey):
+            next_token = sample_token(skey, logits, use_sampling, temp,
+                                      top_k, top_p).astype(jnp.int32)
+            valid = lax.dynamic_slice_in_dim(mask, offset, 1, axis=1)[:, 0]  # [K]
+            next_token = jnp.where(valid[None, :], next_token,
+                                   self.special_token_id)
+            curr = lax.dynamic_slice_in_dim(gen_sequence, offset, 1, axis=2)[..., 0]
+            token = jnp.where(curr == unknown_token, next_token, curr)
+            gen_sequence = lax.dynamic_update_slice_in_dim(
+                gen_sequence, token[..., None], offset, axis=2)
+            return gen_sequence
+
+        gen_sequence = write_token(gen_sequence, S0, last_logits, keys[S0])
+
+        # ---- scan over single decode steps ------------------------------
+        def step(carry, offset):
+            gen_sequence, caches = carry
+            curr = lax.dynamic_slice_in_dim(gen_sequence, offset - 1, 1, axis=2)
+            logits, caches = model_step(curr, caches, first_step=False)
+            gen_sequence = write_token(gen_sequence, offset,
+                                       logits[:, :, -1, :], keys[offset])
+            return (gen_sequence, caches), None
+
+        offsets = jnp.arange(S0 + 1, S)
+        if S0 + 1 < S:
+            (gen_sequence, caches), _ = lax.scan(
+                step, (gen_sequence, caches), offsets)
+
+        # ---- revert pattern --------------------------------------------
+        out_codes, _, out_mask = pattern.revert_pattern_sequence(
+            gen_sequence, special_token=unknown_token)
+        out_start = start_offset if remove_prompts else 0
+        return out_codes[..., out_start:max_gen_len]

@@ -77,6 +77,7 @@ def _install_stubs():
     ops = _stub_module("xformers.ops")
     ops.LowerTriangularMask = type("LowerTriangularMask", (), {})
     ops.memory_efficient_attention = None
+    ops.unbind = lambda x, dim: torch.unbind(x, dim=dim)
     xformers.ops = ops
     sys.modules.setdefault("xformers", xformers)
     sys.modules.setdefault("xformers.ops", ops)

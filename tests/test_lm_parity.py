@@ -1,0 +1,167 @@
+"""LM forward / compute_predictions / greedy generate parity vs reference."""
+
+import numpy as np
+import pytest
+
+from oracle import ref_module, to_np, to_torch
+
+import jax
+import jax.numpy as jnp
+
+from audiocraft_tpu.cond.fuser import ConditionFuser
+from audiocraft_tpu.lm.model import LMModel
+from audiocraft_tpu.patterns import DelayedPatternProvider
+from audiocraft_tpu.ckpt.torch_import import import_lm
+
+
+N_Q, CARD, DIM, HEADS, LAYERS = 4, 60, 16, 4, 2
+
+
+class _FakeProvider:
+    """Stands in for the reference ConditioningProvider: returns fixed
+    precomputed condition tensors, bypassing spacy/T5 tokenization."""
+
+    def __init__(self, tensors):
+        self.tensors = tensors
+
+    def tokenize(self, conditions):
+        return {"n": len(conditions)}
+
+    def __call__(self, tokenized):
+        n = tokenized["n"]
+        cond, mask = self.tensors
+        return {"description": (cond[:n], mask[:n])}
+
+
+def _make_ref_lm(seed=21):
+    import torch
+    ref_lm_mod = ref_module("audiocraft.models.lm")
+    ref_pat = ref_module("audiocraft.modules.codebooks_patterns")
+    ref_cond = ref_module("audiocraft.modules.conditioners")
+    torch.manual_seed(seed)
+    pattern = ref_pat.DelayedPatternProvider(n_q=N_Q)
+    fuser = ref_cond.ConditionFuser(
+        {"cross": ["description"], "prepend": [], "sum": [],
+         "input_interpolate": []})
+    lm = ref_lm_mod.LMModel(
+        pattern, None, fuser, n_q=N_Q, card=CARD, dim=DIM, num_heads=HEADS,
+        custom=True, num_layers=LAYERS, cross_attention=True, causal=True,
+        dropout=0.0)
+    lm.eval()
+    return lm
+
+
+def _make_our_lm():
+    fuser = ConditionFuser.from_dict(
+        {"cross": ("description",), "prepend": (), "sum": (),
+         "input_interpolate": ()})
+    return LMModel(pattern_provider=DelayedPatternProvider(N_Q), fuser=fuser,
+                   n_q=N_Q, card=CARD, dim=DIM, num_heads=HEADS,
+                   num_layers=LAYERS, cross_attention=True, causal=True,
+                   norm_first=False, activation='relu', cfg_coef=3.0)
+
+
+def _import(ref, our):
+    sd = {k: to_np(v) for k, v in ref.state_dict().items()}
+    return jax.tree.map(jnp.asarray, import_lm(our, sd))
+
+
+def _cond(B, Tc=5, seed=3):
+    rng = np.random.RandomState(seed)
+    cond = rng.randn(B, Tc, DIM).astype(np.float32)
+    mask = np.ones((B, Tc), dtype=np.int64)
+    return cond, mask
+
+
+def test_lm_forward_parity():
+    import torch
+    ref = _make_ref_lm()
+    ours = _make_our_lm()
+    params = _import(ref, ours)
+
+    B, S = 2, 9
+    seq = np.random.RandomState(0).randint(0, CARD, (B, N_Q, S))
+    cond, mask = _cond(B)
+    with torch.no_grad():
+        logits_ref = to_np(ref(
+            to_torch(seq), [],
+            condition_tensors={"description": (to_torch(cond), to_torch(mask))}))
+
+    logits, _ = ours.forward(params, jnp.asarray(seq),
+                             {"description": (jnp.asarray(cond), jnp.asarray(mask))})
+    np.testing.assert_allclose(np.asarray(logits), logits_ref, atol=5e-5, rtol=1e-4)
+
+
+def test_lm_compute_predictions_parity():
+    import torch
+    ref = _make_ref_lm()
+    ours = _make_our_lm()
+    params = _import(ref, ours)
+
+    B, T = 2, 7
+    codes = np.random.RandomState(1).randint(0, CARD, (B, N_Q, T))
+    cond, mask = _cond(B)
+    with torch.no_grad():
+        out_ref = ref.compute_predictions(
+            to_torch(codes), [],
+            condition_tensors={"description": (to_torch(cond), to_torch(mask))})
+
+    out = ours.compute_predictions(
+        params, jnp.asarray(codes),
+        {"description": (jnp.asarray(cond), jnp.asarray(mask))})
+    assert (np.asarray(out.mask) == to_np(out_ref.mask)).all()
+    np.testing.assert_allclose(np.asarray(out.logits), to_np(out_ref.logits),
+                               atol=5e-5, rtol=1e-4, equal_nan=True)
+
+
+@pytest.mark.parametrize("prompt_len", [0, 3])
+def test_lm_greedy_generate_parity(prompt_len):
+    import torch
+    ref = _make_ref_lm()
+    ours = _make_our_lm()
+    params = _import(ref, ours)
+
+    B, max_gen_len = 2, 10
+    # CFG doubles the batch: provide 2B condition rows (cond + null)
+    cond, mask = _cond(2 * B, seed=7)
+    ref.condition_provider = _FakeProvider((to_torch(cond), to_torch(mask)))
+
+    ref_cond_mod = ref_module("audiocraft.modules.conditioners")
+    conditions = [ref_cond_mod.ConditioningAttributes(text={"description": "x"})
+                  for _ in range(B)]
+
+    prompt_np = None
+    prompt = None
+    if prompt_len:
+        prompt_np = np.random.RandomState(2).randint(
+            0, CARD, (B, N_Q, prompt_len))
+        prompt = to_torch(prompt_np)
+
+    with torch.no_grad():
+        tokens_ref = to_np(ref.generate(
+            prompt=prompt, conditions=conditions, num_samples=B,
+            max_gen_len=max_gen_len, use_sampling=False, cfg_coef=3.0))
+
+    tokens = ours.generate(
+        params, jax.random.PRNGKey(0),
+        prompt=None if prompt_np is None else jnp.asarray(prompt_np),
+        condition_tensors={"description": (jnp.asarray(cond), jnp.asarray(mask))},
+        num_samples=B, max_gen_len=max_gen_len, use_sampling=False,
+        cfg_coef=3.0)
+    tokens = np.asarray(tokens)
+    assert tokens.shape == tokens_ref.shape
+    match = (tokens == tokens_ref).mean()
+    assert match == 1.0, f"greedy token match {match:.4f} != 1.0"
+
+
+def test_lm_generate_sampling_shapes():
+    ours = _make_our_lm()
+    params = ours.init(jax.random.PRNGKey(0))
+    cond, mask = _cond(2, seed=11)
+    tokens = ours.generate(
+        params, jax.random.PRNGKey(1),
+        condition_tensors={"description": (jnp.asarray(cond), jnp.asarray(mask))},
+        num_samples=1, max_gen_len=8, use_sampling=True, temp=1.0, top_k=50)
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (1, N_Q, 8)
+    assert (tokens >= 0).all() and (tokens <= CARD).all()
