@@ -221,3 +221,34 @@ def import_lm(model, sd: StateDict) -> dict:
     if "out_norm.weight" in sd:
         params["out_norm"] = _linear(sd, "out_norm")
     return params
+
+
+def import_t5(sd: StateDict, num_layers: int, gated: bool = False,
+              prefix: str = "") -> dict:
+    """Import a HF torch T5 encoder state dict (T5EncoderModel layout)."""
+    p = prefix and prefix.rstrip(".") + "."
+    params = {
+        "shared": np.asarray(sd[f"{p}shared.weight"]),
+        "relative_attention_bias": np.asarray(
+            sd[f"{p}encoder.block.0.layer.0.SelfAttention"
+               ".relative_attention_bias.weight"]),
+        "final_layer_norm": np.asarray(sd[f"{p}encoder.final_layer_norm.weight"]),
+    }
+    for i in range(num_layers):
+        b = f"{p}encoder.block.{i}"
+        layer = {
+            "q": np.asarray(sd[f"{b}.layer.0.SelfAttention.q.weight"]),
+            "k": np.asarray(sd[f"{b}.layer.0.SelfAttention.k.weight"]),
+            "v": np.asarray(sd[f"{b}.layer.0.SelfAttention.v.weight"]),
+            "o": np.asarray(sd[f"{b}.layer.0.SelfAttention.o.weight"]),
+            "ln_attn": np.asarray(sd[f"{b}.layer.0.layer_norm.weight"]),
+            "ln_ff": np.asarray(sd[f"{b}.layer.1.layer_norm.weight"]),
+            "wo": np.asarray(sd[f"{b}.layer.1.DenseReluDense.wo.weight"]),
+        }
+        if gated:
+            layer["wi_0"] = np.asarray(sd[f"{b}.layer.1.DenseReluDense.wi_0.weight"])
+            layer["wi_1"] = np.asarray(sd[f"{b}.layer.1.DenseReluDense.wi_1.weight"])
+        else:
+            layer["wi"] = np.asarray(sd[f"{b}.layer.1.DenseReluDense.wi.weight"])
+        params[f"block{i}"] = layer
+    return params

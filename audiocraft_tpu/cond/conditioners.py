@@ -128,7 +128,23 @@ class T5Conditioner:
         return embeds, mask
 
 
-Conditioner = tp.Union[LUTConditioner, T5Conditioner]
+def collate_wav_conditions(conds: tp.List) -> "object":
+    """Batch a list of per-sample WavConditions (pad wavs to max length),
+    mirroring ConditioningProvider._collate_wavs (conditioners.py:1547-1600)."""
+    from .attributes import WavCondition
+    wavs = [np.asarray(c.wav) for c in conds]
+    max_t = max(w.shape[-1] for w in wavs)
+    padded = np.concatenate(
+        [np.pad(w, ((0, 0),) * (w.ndim - 1) + ((0, max_t - w.shape[-1]),))
+         for w in wavs], axis=0)
+    lengths = np.concatenate([np.asarray(c.length).reshape(-1) for c in conds])
+    sample_rates = sum((list(c.sample_rate) for c in conds), [])
+    paths = sum((list(c.path) for c in conds), [])
+    seek_times = sum((list(c.seek_time) for c in conds), [])
+    return WavCondition(padded, lengths, sample_rates, paths, seek_times)
+
+
+Conditioner = tp.Any  # LUTConditioner | T5Conditioner | ChromaConditioner | ...
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,14 +175,19 @@ class ConditioningProvider:
         """inputs: list of ConditioningAttributes -> {name: tokenized}."""
         output = {}
         conds = self.as_dict
-        # collate text attributes across the batch
+        # collate text and wav attributes across the batch
         text: tp.Dict[str, tp.List[tp.Optional[str]]] = {}
+        wavs: tp.Dict[str, tp.List] = {}
         for sample in inputs:
             for name in conds:
                 if name in sample.text:
                     text.setdefault(name, []).append(sample.text[name])
+                if name in sample.wav:
+                    wavs.setdefault(name, []).append(sample.wav[name])
         for name, batch in text.items():
             output[name] = conds[name].tokenize(batch)
+        for name, batch in wavs.items():
+            output[name] = conds[name].tokenize(collate_wav_conditions(batch))
         return output
 
     def __call__(self, params: dict, tokenized: tp.Dict[str, tp.Any]

@@ -1,0 +1,82 @@
+"""Training steps: EnCodec reconstruction (with distributed EMA codebooks) and
+LM cross-entropy — global-view jitted code that shards over a mesh.
+
+This rebuilds, minimally, the role of the reference's stripped
+``audiocraft/solvers`` (SURVEY.md §7 M7): enough of a training loop to
+exercise the distributed EMA path for real.  Under a ``('data',)`` mesh with
+the batch sharded, XLA turns the RVQ one-hot count / embed-sum reductions into
+all-reduces over ICI — the TPU-native equivalent of the reference's
+local-EMA + broadcast-at-init/expiry design (core_vq.py:140,158,205-217).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..codec.encodec import EncodecModel
+from ..lm.model import LMModel
+
+
+def encodec_loss(model: EncodecModel, grad_params: dict, ema_state, x: jax.Array,
+                 key: jax.Array, commit_weight: float = 1.0
+                 ) -> tp.Tuple[jax.Array, tp.Tuple]:
+    """Reconstruction (L1 + L2) + commitment penalty.  The quantizer state is
+    a non-differentiable side state updated by EMA inside the forward."""
+    params = dict(grad_params)
+    params['quantizer'] = ema_state
+    q_res, new_params = model.forward(params, x, key=key, training=True)
+    recon = q_res.x
+    l1 = jnp.mean(jnp.abs(recon - x))
+    l2 = jnp.mean(jnp.square(recon - x))
+    loss = l1 + l2 + commit_weight * q_res.penalty
+    return loss, (new_params['quantizer'], l1, l2, q_res.penalty)
+
+
+def make_encodec_train_step(model: EncodecModel,
+                            optimizer: optax.GradientTransformation):
+    """Returns jittable ``step(grad_params, ema_state, opt_state, x, key)``.
+
+    Shard ``x`` over the 'data' mesh axis and keep params replicated; GSPMD
+    handles gradient and EMA-statistic all-reduces.
+    """
+
+    def step(grad_params, ema_state, opt_state, x, key):
+        (loss, (new_ema, l1, l2, penalty)), grads = jax.value_and_grad(
+            encodec_loss, argnums=1, has_aux=True)(model, grad_params,
+                                                   ema_state, x, key)
+        updates, opt_state = optimizer.update(grads, opt_state, grad_params)
+        grad_params = optax.apply_updates(grad_params, updates)
+        metrics = {'loss': loss, 'l1': l1, 'l2': l2, 'penalty': penalty}
+        return grad_params, new_ema, opt_state, metrics
+
+    return step
+
+
+def lm_loss(model: LMModel, params: dict, codes: jax.Array,
+            condition_tensors: dict) -> tp.Tuple[jax.Array, dict]:
+    """Masked cross-entropy over the delay-pattern-aligned logits
+    (the role of the stripped solvers' CE, cf. lm.py compute_predictions)."""
+    out = model.compute_predictions(params, codes, condition_tensors)
+    logits = jnp.where(out.mask[..., None], jnp.nan_to_num(out.logits), 0.0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = jax.nn.one_hot(codes, model.card, dtype=logp.dtype)
+    ce = -jnp.sum(logp * tgt, axis=-1)  # [B, K, T]
+    mask = out.mask.astype(logp.dtype)
+    loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1)
+    return loss, {'ce': loss}
+
+
+def make_lm_train_step(model: LMModel, optimizer: optax.GradientTransformation):
+    def step(params, opt_state, codes, condition_tensors):
+        (loss, metrics), grads = jax.value_and_grad(
+            lm_loss, argnums=1, has_aux=True)(model, params, codes,
+                                              condition_tensors)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {'loss': loss, **metrics}
+
+    return step

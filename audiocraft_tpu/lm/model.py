@@ -236,7 +236,9 @@ class LMModel:
             prompt = jnp.zeros((num_samples, self.num_codebooks, 0), jnp.int32)
         B, K, T = prompt.shape
         start_offset = T
-        assert start_offset < max_gen_len
+        # == is allowed: only the trailing delayed codebook entries get
+        # generated then (reference lm.py:525 asserts <=)
+        assert start_offset <= max_gen_len
 
         pattern = self.pattern_provider.get_pattern(max_gen_len)
         unknown_token = -1

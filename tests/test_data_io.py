@@ -1,0 +1,200 @@
+"""IO + dataset tests: wav roundtrip, resample parity with torch baseline,
+manifests, dataset sampling/collation (reference tests/data/*)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audiocraft_tpu.io.wav import (audio_info, audio_read, audio_write,
+                                   wav_read, wav_write)
+from audiocraft_tpu.io.resample import resample_frac
+from audiocraft_tpu.io.audio_utils import (apply_fade, apply_tafade,
+                                           convert_audio,
+                                           convert_audio_channels, f32_pcm,
+                                           i16_pcm, normalize_audio)
+from audiocraft_tpu.data.audio_dataset import (AudioDataset, AudioMeta,
+                                               find_audio_files,
+                                               load_audio_meta,
+                                               save_audio_meta)
+
+
+def _sine(sr=32000, secs=1.0, ch=1, freq=440.0):
+    t = np.arange(int(sr * secs)) / sr
+    wav = 0.5 * np.sin(2 * np.pi * freq * t).astype(np.float32)
+    return np.tile(wav, (ch, 1))
+
+
+def test_wav_roundtrip_int16(tmp_path):
+    wav = _sine(ch=2)
+    p = tmp_path / "test.wav"
+    wav_write(wav, p, 32000)
+    back, sr = wav_read(p)
+    assert sr == 32000
+    assert back.shape == wav.shape
+    np.testing.assert_allclose(back, wav, atol=1 / (2 ** 15) + 1e-6)
+
+
+def test_wav_roundtrip_float32(tmp_path):
+    wav = _sine()
+    p = tmp_path / "test.wav"
+    wav_write(wav, p, 16000, dtype='float32')
+    back, sr = wav_read(p)
+    np.testing.assert_allclose(back, wav, atol=0)
+
+
+def test_wav_seek_duration(tmp_path):
+    wav = _sine(secs=2.0)
+    p = tmp_path / "t.wav"
+    wav_write(wav, p, 32000, dtype='float32')
+    seg, sr = wav_read(p, seek_time=0.5, duration=1.0)
+    assert seg.shape[-1] == 32000
+    np.testing.assert_allclose(seg, wav[:, 16000:48000], atol=0)
+    sr2, dur, ch = audio_info(p)
+    assert sr2 == 32000 and ch == 1 and abs(dur - 2.0) < 1e-6
+
+
+def test_resample_vs_scipy_quality():
+    """Downsample a band-limited sine: must stay a clean sine (SNR check)."""
+    sr1, sr2 = 32000, 16000
+    wav = _sine(sr=sr1, secs=1.0, freq=440.0)
+    out = np.asarray(resample_frac(jnp.asarray(wav), sr1, sr2))
+    assert out.shape[-1] == 16000
+    t = np.arange(out.shape[-1]) / sr2
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    err = out[0, 200:-200] - ref[200:-200]
+    snr = 10 * np.log10(np.mean(ref ** 2) / np.mean(err ** 2))
+    assert snr > 40, f"resample SNR too low: {snr:.1f} dB"
+
+
+def test_resample_matches_julius_shapes():
+    for old, new, n in [(44100, 32000, 44100), (16000, 24000, 8000),
+                        (32000, 32000, 100)]:
+        wav = np.random.RandomState(0).randn(2, n).astype(np.float32)
+        out = np.asarray(resample_frac(jnp.asarray(wav), old, new))
+        import math
+        expected = int(math.ceil(new // math.gcd(old, new) * n
+                                 / (old // math.gcd(old, new))))
+        assert out.shape == (2, expected)
+
+
+def test_convert_audio_channels():
+    wav = jnp.asarray(np.random.randn(2, 100).astype(np.float32))
+    mono = convert_audio_channels(wav, 1)
+    assert mono.shape == (1, 100)
+    stereo = convert_audio_channels(mono, 2)
+    assert stereo.shape == (2, 100)
+    np.testing.assert_allclose(np.asarray(stereo[0]), np.asarray(stereo[1]))
+
+
+def test_pcm_roundtrip():
+    wav = _sine()[0]
+    i16 = i16_pcm(wav)
+    assert i16.dtype == np.int16
+    back = f32_pcm(i16)
+    np.testing.assert_allclose(back, wav, atol=1 / (2 ** 15) + 1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["peak", "clip", "rms", "loudness"])
+def test_normalize_strategies(strategy):
+    wav = jnp.asarray(_sine() * 3.0)
+    out = normalize_audio(wav, strategy=strategy, sample_rate=32000)
+    assert np.isfinite(np.asarray(out)).all()
+    if strategy in ("clip", "rms", "loudness"):
+        assert float(jnp.abs(out).max()) <= 1.0 + 1e-6
+
+
+def test_fades():
+    wav = jnp.ones((1, 32000))
+    faded = apply_tafade(wav, 32000, duration=0.5, out=True, start=False)
+    arr = np.asarray(faded)
+    assert arr[0, 0] == 1.0
+    assert arr[0, -1] < 1e-6
+    faded2 = apply_fade(wav, 32000, duration=0.5, out=False, start=True,
+                        curve_start=0.0, curve_end=1.0)
+    assert np.asarray(faded2)[0, 0] == 0.0
+
+
+def test_audio_write_normalizes(tmp_path):
+    wav = _sine() * 2.5
+    p = audio_write(tmp_path / "loud", wav, 32000, strategy='peak')
+    back, _ = wav_read(p)
+    assert np.abs(back).max() <= 1.0
+
+
+# ------------------------------------------------------------------ dataset
+
+def _make_corpus(tmp_path, n=5, sr=16000):
+    metas = []
+    for i in range(n):
+        secs = 0.5 + 0.25 * i
+        wav = _sine(sr=sr, secs=secs, freq=200 + 50 * i)
+        p = tmp_path / f"clip{i}.wav"
+        wav_write(wav, p, sr)
+        metas.append(AudioMeta(str(p), secs, sr))
+    return metas
+
+
+def test_meta_save_load(tmp_path):
+    metas = _make_corpus(tmp_path)
+    mp = tmp_path / "data.jsonl"
+    save_audio_meta(mp, metas)
+    back = load_audio_meta(mp)
+    assert [m.path for m in back] == [m.path for m in metas]
+    gz = tmp_path / "data.jsonl.gz"
+    save_audio_meta(gz, metas)
+    assert [m.duration for m in load_audio_meta(gz)] == \
+           [m.duration for m in metas]
+
+
+def test_find_audio_files(tmp_path):
+    _make_corpus(tmp_path)
+    metas = find_audio_files(tmp_path, workers=2)
+    assert len(metas) == 5
+    assert all(m.sample_rate == 16000 for m in metas)
+
+
+def test_dataset_segment_sampling(tmp_path):
+    metas = _make_corpus(tmp_path)
+    ds = AudioDataset(metas, segment_duration=0.4, num_samples=8,
+                      sample_rate=16000, channels=1, return_info=True,
+                      shuffle=True)
+    ds.start_epoch(0)
+    wav, info = ds[0]
+    assert wav.shape == (1, 6400)
+    assert info.total_frames == 6400
+    # deterministic for a fixed epoch
+    wav2, _ = ds[0]
+    np.testing.assert_array_equal(wav, wav2)
+    ds.start_epoch(1)
+    wav3, _ = ds[0]
+    assert not np.array_equal(wav, wav3)
+
+
+def test_dataset_batching_and_sharding(tmp_path):
+    metas = _make_corpus(tmp_path)
+    ds = AudioDataset(metas, segment_duration=0.25, num_samples=8,
+                      sample_rate=16000, channels=1, shuffle=False)
+    batches = list(ds.iter_batches(batch_size=4))
+    assert len(batches) == 2 and batches[0].shape == (4, 1, 4000)
+    # two-process sharding covers disjoint halves of each global batch
+    b0 = list(ds.iter_batches(batch_size=4, process_index=0, process_count=2))
+    b1 = list(ds.iter_batches(batch_size=4, process_index=1, process_count=2))
+    assert b0[0].shape == (2, 1, 4000)
+    np.testing.assert_array_equal(np.concatenate([b0[0], b1[0]]), batches[0])
+
+
+def test_dataset_duration_filters(tmp_path):
+    metas = _make_corpus(tmp_path)
+    ds = AudioDataset(metas, segment_duration=0.2, min_audio_duration=0.8,
+                      sample_rate=16000, channels=1)
+    assert all(m.duration >= 0.8 for m in ds.meta)
+
+
+def test_dataset_full_file_mode(tmp_path):
+    metas = _make_corpus(tmp_path, n=3)
+    ds = AudioDataset(metas, segment_duration=None, sample_rate=16000,
+                      channels=1, return_info=True)
+    assert len(ds) == 3
+    wav, info = ds[1]
+    assert info.n_frames == wav.shape[-1]
