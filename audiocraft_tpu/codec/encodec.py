@@ -25,6 +25,14 @@ from ..nn.seanet import SEANetDecoder, SEANetEncoder
 from ..quant.vq import QuantizedResult, RVQState, ResidualVectorQuantizer
 
 
+def _q_state(quantizer, params_q):
+    """Quantizer state from params: rebuild the RVQState pytree when loaded
+    checkpoints hand us a plain dict."""
+    if isinstance(quantizer, ResidualVectorQuantizer) and isinstance(params_q, dict):
+        return RVQState(**params_q)
+    return params_q
+
+
 @dataclasses.dataclass(frozen=True)
 class EncodecModel:
     encoder: SEANetEncoder
@@ -93,9 +101,7 @@ class EncodecModel:
         assert x.ndim == 3
         x, scale = self.preprocess(x)
         emb = self.encoder(params['encoder'], x)
-        state = RVQState(**params['quantizer']) if isinstance(params['quantizer'], dict) \
-            else params['quantizer']
-        codes = self.quantizer.encode(state, emb)
+        codes = self.quantizer.encode(_q_state(self.quantizer, params['quantizer']), emb)
         return codes, scale
 
     def decode(self, params: dict, codes: jax.Array,
@@ -106,9 +112,7 @@ class EncodecModel:
         return self.postprocess(out, scale)
 
     def decode_latent(self, params: dict, codes: jax.Array) -> jax.Array:
-        state = RVQState(**params['quantizer']) if isinstance(params['quantizer'], dict) \
-            else params['quantizer']
-        return self.quantizer.decode(state, codes)
+        return self.quantizer.decode(_q_state(self.quantizer, params['quantizer']), codes)
 
     def forward(self, params: dict, x: jax.Array, *,
                 key: tp.Optional[jax.Array] = None, training: bool = False,
@@ -124,8 +128,7 @@ class EncodecModel:
         length = x.shape[-1]
         x, scale = self.preprocess(x)
         emb = self.encoder(params['encoder'], x)
-        state = RVQState(**params['quantizer']) if isinstance(params['quantizer'], dict) \
-            else params['quantizer']
+        state = _q_state(self.quantizer, params['quantizer'])
         q_res, new_state = self.quantizer.forward(
             state, emb, self.frame_rate, key=key, training=training,
             n_q_active=n_q_active, axis_name=axis_name)

@@ -167,6 +167,7 @@ class LMModel:
                 caches: tp.Optional[tp.Tuple[KVCache, ...]] = None,
                 cross_kv: tp.Optional[tuple] = None,
                 first_step: bool = True,
+                attn_mask: tp.Optional[jax.Array] = None,
                 ) -> tp.Tuple[jax.Array, tp.Optional[tp.Tuple[KVCache, ...]]]:
         """sequence: [B, K, S] -> logits [B, K, S, card] (reference lm.py:221-268)."""
         B, K, S = sequence.shape
@@ -178,7 +179,8 @@ class LMModel:
             cross_src = None
         out, new_caches = self.transformer(
             params['transformer'], input_, caches=caches,
-            cross_attention_src=cross_src, cross_kv=cross_kv)
+            cross_attention_src=cross_src, cross_kv=cross_kv,
+            attn_mask=attn_mask)
         if 'out_norm' in params:
             out = layer_norm(out, **params['out_norm'])
         logits = self.apply_heads(params, out)

@@ -1,0 +1,118 @@
+"""Cross-cutting utilities (reference audiocraft/utils/utils.py + autocast.py +
+cluster.py counterparts)."""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import typing as tp
+from contextlib import contextmanager
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def model_hash(params) -> str:
+    """SHA1 over all parameters for regression tracking
+    (reference utils/utils.py:26-33)."""
+    hasher = hashlib.sha1()
+    leaves = jax.tree.leaves(params)
+    for leaf in leaves:
+        hasher.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    return hasher.hexdigest()
+
+
+def length_to_mask(lengths: jax.Array, max_len: tp.Optional[int] = None) -> jax.Array:
+    """[B] lengths -> [B, T] boolean mask (reference utils.py:177-190).
+    `max_len` must be static under jit."""
+    assert lengths.ndim == 1
+    final_length = max_len if max_len else int(jnp.max(lengths))
+    final_length = max(final_length, 1)
+    return jnp.arange(final_length)[None, :] < lengths[:, None]
+
+
+_WARNED: set = set()
+
+
+def warn_once(logger_: logging.Logger, msg: str) -> None:
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        logger_.warning(msg)
+
+
+# ------------------------------------------------------------- dtype policy
+
+class DtypePolicy:
+    """Mixed-precision policy — the role of the reference TorchAutocast
+    (utils/autocast.py:10-40) in functional form: cast inputs/params for the
+    compute-heavy sections, keep fp32 where parity requires it (RVQ distance,
+    attention softmax)."""
+
+    def __init__(self, compute_dtype=jnp.float32, param_dtype=jnp.float32):
+        self.compute_dtype = compute_dtype
+        self.param_dtype = param_dtype
+
+    @property
+    def enabled(self) -> bool:
+        return self.compute_dtype != jnp.float32
+
+    def cast_to_compute(self, tree):
+        return jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
+
+BF16_POLICY = DtypePolicy(compute_dtype=jnp.bfloat16)
+FP32_POLICY = DtypePolicy()
+
+
+# -------------------------------------------------------------- environment
+
+class AudioCraftEnvironment:
+    """Minimal environment resolution (reference environment.py:25-176):
+    env-var driven directories and a `//reference/` path convention."""
+
+    @staticmethod
+    def get_cache_dir() -> str:
+        return os.environ.get('AUDIOCRAFT_CACHE_DIR',
+                              os.path.expanduser('~/.cache/audiocraft_tpu'))
+
+    @staticmethod
+    def get_reference_dir() -> str:
+        return os.environ.get('AUDIOCRAFT_REFERENCE_DIR', '')
+
+    @classmethod
+    def resolve_reference_path(cls, path: tp.Union[str, os.PathLike]) -> str:
+        path = str(path)
+        if path.startswith('//reference'):
+            return path.replace('//reference', cls.get_reference_dir())
+        return path
+
+
+def cluster_info() -> dict:
+    """TPU pod environment (the reference's SLURM detection, cluster.py:27-75,
+    mapped to JAX multi-host concepts)."""
+    return {
+        'process_index': jax.process_index(),
+        'process_count': jax.process_count(),
+        'local_devices': jax.local_device_count(),
+        'global_devices': jax.device_count(),
+        'coordinator': os.environ.get('JAX_COORDINATOR_ADDRESS'),
+        'tpu_worker_hostnames': os.environ.get('TPU_WORKER_HOSTNAMES'),
+    }
+
+
+@contextmanager
+def write_and_rename(path, suffix: str = '.tmp'):
+    """Atomic file write: write to a temp file then rename."""
+    from pathlib import Path
+    path = Path(path)
+    tmp = path.with_name(path.name + suffix)
+    with open(tmp, 'wb') as f:
+        yield f
+    tmp.rename(path)
