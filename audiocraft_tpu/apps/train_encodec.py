@@ -1,0 +1,110 @@
+"""CLI: data-parallel EnCodec reconstruction training (the role of the
+reference's stripped compression solver, SURVEY §7 M7).
+
+    python -m audiocraft_tpu.apps.train_encodec DATA_DIR \
+        [--steps 100] [--batch 8] [--segment 1.0] [--ckpt out_ckpt] [--debug]
+
+Shards each global batch across all local devices over a ('data',) mesh; the
+RVQ EMA statistics all-reduce over the mesh via GSPMD.  DATA_DIR may be a
+directory of wavs or a jsonl manifest; `--synthetic` trains on generated
+noise (pipeline smoke test without a corpus).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('data', nargs='?', default=None)
+    parser.add_argument('--steps', type=int, default=100)
+    parser.add_argument('--batch', type=int, default=8)
+    parser.add_argument('--segment', type=float, default=1.0)
+    parser.add_argument('--lr', type=float, default=3e-4)
+    parser.add_argument('--ckpt', default=None)
+    parser.add_argument('--debug', action='store_true',
+                        help='tiny debug codec config')
+    parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument('--log-every', type=int, default=10)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..builders import get_debug_compression_model, get_encodec_32khz
+    from ..ckpt.io import save_checkpoint
+    from ..data.audio_dataset import AudioDataset
+    from ..dist.mesh import make_mesh
+    from ..dist.train import make_encodec_train_step
+
+    model = get_debug_compression_model(32000) if args.debug \
+        else get_encodec_32khz()
+    params = model.init(jax.random.PRNGKey(0))
+    grad_params = {k: v for k, v in params.items() if k != 'quantizer'}
+    ema_state = params['quantizer']
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(grad_params)
+
+    n_dev = jax.local_device_count()
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P('data'))
+    grad_params = jax.device_put(grad_params, repl)
+    ema_state = jax.device_put(ema_state, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    assert args.batch % n_dev == 0, \
+        f"batch {args.batch} must divide across {n_dev} devices"
+    seg = int(args.segment * model.sample_rate)
+
+    if args.synthetic or args.data is None:
+        rng = np.random.RandomState(0)
+
+        def batches():
+            while True:
+                yield (rng.randn(args.batch, 1, seg) * 0.1).astype(np.float32)
+        batch_iter = batches()
+    else:
+        ds = AudioDataset.from_path(args.data, segment_duration=args.segment,
+                                    sample_rate=model.sample_rate, channels=1,
+                                    num_samples=args.steps * args.batch)
+        ds.start_epoch(0)
+
+        def batches():
+            while True:
+                for b in ds.iter_batches(args.batch,
+                                         jax.process_index(),
+                                         jax.process_count()):
+                    yield b
+        batch_iter = batches()
+
+    step_fn = jax.jit(make_encodec_train_step(model, optimizer),
+                      donate_argnums=(0, 1, 2))
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        x = jax.device_put(jnp.asarray(next(batch_iter)), dsh)
+        key, sub = jax.random.split(key)
+        grad_params, ema_state, opt_state, metrics = step_fn(
+            grad_params, ema_state, opt_state, x, sub)
+        if step % args.log_every == 0 or step == args.steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.perf_counter() - t0
+            print(f"step {step:5d}  loss {m['loss']:.4f}  l1 {m['l1']:.4f}  "
+                  f"penalty {m['penalty']:.4f}  ({dt:.1f}s)", flush=True)
+
+    if args.ckpt:
+        full = dict(grad_params)
+        full['quantizer'] = ema_state
+        save_checkpoint(args.ckpt, model, full,
+                        extra={'steps': args.steps})
+        print(f"saved checkpoint to {args.ckpt}")
+
+
+if __name__ == '__main__':
+    main()

@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def bench_ours(batch, seconds, iters=8):
+def bench_ours(batch, seconds, iters=16):
     import jax
     import jax.numpy as jnp
     from audiocraft_tpu.builders import get_encodec_32khz
@@ -24,19 +24,27 @@ def bench_ours(batch, seconds, iters=8):
     model = get_encodec_32khz()
     params = model.init(jax.random.PRNGKey(0))
     sr = model.sample_rate
-    # distinct pre-placed inputs: defeats any result caching in the runtime;
-    # completion is forced by fetching the (small) codes array — this
-    # platform's block_until_ready does not guarantee execution finished.
+    # Pre-placed distinct inputs (device transfer excluded from the metric).
     wavs = [jnp.asarray(np.random.RandomState(i).randn(
         batch, 1, sr * seconds).astype(np.float32) * 0.1) for i in range(4)]
 
-    enc = jax.jit(lambda p, x: model.encode(p, x)[0])
-    np.asarray(enc(params, wavs[0]))  # warmup + compile
+    # Chain a tiny data dependency through iterations so device execution is
+    # forced to serialize, then fetch one scalar at the end.  (This runtime's
+    # block_until_ready does not guarantee completion, and each host fetch
+    # costs ~25 ms of tunnel latency — chaining measures pure device time.)
+    def step(p, x, carry):
+        codes, _ = model.encode(p, x + carry * 1e-20)
+        return codes, jnp.sum(codes).astype(jnp.float32)
+
+    step = jax.jit(step)
+    codes, carry = step(params, wavs[0], jnp.zeros(()))
+    float(carry)  # warmup + compile
 
     t0 = time.perf_counter()
+    carry = jnp.zeros(())
     for i in range(iters):
-        codes = enc(params, wavs[i % len(wavs)])
-        np.asarray(codes)
+        codes, carry = step(params, wavs[i % len(wavs)], carry)
+    float(carry)  # single forced materialization
     dt = (time.perf_counter() - t0) / iters
     audio_sec = batch * seconds
     return audio_sec / dt
@@ -73,10 +81,12 @@ def bench_reference(batch, seconds, iters=2):
 
 
 def main():
-    batch, seconds = 8, 10
+    batch, seconds = 32, 10
     ours = bench_ours(batch, seconds)
     try:
-        ref = bench_reference(batch, seconds)
+        # the torch-CPU reference is throughput-measured on a smaller batch to
+        # keep bench wall-time bounded (CPU throughput is ~batch-insensitive)
+        ref = bench_reference(4, seconds, iters=1)
         vs = ours / ref
     except Exception as e:
         print(f"reference bench failed: {e}", file=sys.stderr)

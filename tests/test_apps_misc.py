@@ -1,0 +1,91 @@
+"""Apps (REST server), spectrograms, info dataset."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_serve_health_and_generate(tmp_path):
+    from http.server import ThreadingHTTPServer
+    from audiocraft_tpu.apps.serve import make_handler
+    from audiocraft_tpu.gen.musicgen import get_debug_musicgen
+
+    model = get_debug_musicgen(jax.random.PRNGKey(0))
+    server = ThreadingHTTPServer(('127.0.0.1', 0),
+                                 make_handler(model, threading.Lock()))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/health', timeout=30) as r:
+            assert json.loads(r.read())['status'] == 'ok'
+
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/generate',
+            data=json.dumps({'text': 'beep', 'duration': 1.0}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            body = r.read()
+            assert r.headers['Content-Type'] == 'audio/wav'
+            assert body[:4] == b'RIFF'
+            assert len(body) > 44
+
+        # probe: bad requests get clean errors
+        bad = urllib.request.Request(
+            f'http://127.0.0.1:{port}/generate',
+            data=json.dumps({'duration': 1.0}).encode())
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "should have errored"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        bad2 = urllib.request.Request(
+            f'http://127.0.0.1:{port}/generate',
+            data=json.dumps({'text': 'x', 'duration': -3}).encode())
+        try:
+            urllib.request.urlopen(bad2, timeout=30)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_spectrogram(tmp_path):
+    from audiocraft_tpu.io.spectrogram import mel_spectrogram, save_spectrogram
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    mel = mel_spectrogram(wav, sr)
+    assert mel.shape[0] == 80
+    # energy concentrated near the 1 kHz mel bin
+    peak_bin = mel.mean(axis=1).argmax()
+    assert 10 < peak_bin < 50
+    out = save_spectrogram(tmp_path / "spec.png", wav, sr, title="test")
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_info_audio_dataset(tmp_path):
+    from audiocraft_tpu.data.audio_dataset import AudioMeta
+    from audiocraft_tpu.data.info_audio_dataset import InfoAudioDataset
+    from audiocraft_tpu.io.wav import wav_write
+    sr = 16000
+    wav = (0.3 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+           ).astype(np.float32)[None]
+    p = tmp_path / "a.wav"
+    wav_write(wav, p, sr)
+    ds = InfoAudioDataset([AudioMeta(str(p), 1.0, sr)],
+                          segment_duration=0.5, num_samples=2,
+                          sample_rate=sr, channels=1, return_info=True)
+    ds.start_epoch(0)
+    out, info = ds[0]
+    assert out.shape == (1, 8000)
+    attrs = info.to_condition_attributes()
+    assert attrs.text == {}
