@@ -10,9 +10,10 @@ Re-design of ``/root/reference/audiocraft/models/lm_magnet.py`` (MagnetLMModel):
 
 TPU notes: the masking schedule is static — ``num_masked`` per iteration is a
 Python int, so every ``top_k`` has a static k and the whole decode unrolls
-into one jittable program with fixed shapes.  Span arrangement 'nonoverlap'
-(the default used by all released MAGNeT models) is implemented; 'stride1'
-overlapping-span masking is future work.
+into one jittable program with fixed shapes.  Both span arrangements are
+implemented: 'nonoverlap' (released-model default, chunked top-k re-masking)
+and 'stride1' (overlapping least-probable-span masking via a fixed-shape
+coverage scan instead of the reference's data-dependent binary search).
 """
 
 from __future__ import annotations
@@ -51,6 +52,53 @@ class MagnetLMModel(LMModel):
             return self.restricted_context_attn_mask(seq_len)
         return None
 
+    def _least_probable_span_masking(self, scores: jax.Array,
+                                     num_masked_trg: int) -> jax.Array:
+        """Overlapping (stride-1) span masking: cover the tokens of the u
+        least-probable spans, with u chosen so the total masked count is as
+        close as possible to ``num_masked_trg`` (reference lm_magnet.py:442-500;
+        the reference finds u by binary search — here the cumulative coverage
+        of score-ordered spans is computed in one scan and u selected directly,
+        same criterion).
+
+        scores: [T] (higher = mask first).  Returns bool [T].
+        """
+        L = self.span_len
+        T = scores.shape[-1]
+        num_masked_trg = max(num_masked_trg, L)
+        M = T - L + 1  # number of spans
+        # span score: sum of token scores over the span window
+        csum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(scores)])
+        span_scores = csum[L:] - csum[:-L]  # [M]
+        order = jnp.argsort(-span_scores)   # span starts, best (most maskable) first
+        ranks = jnp.zeros((M,), jnp.int32).at[order].set(jnp.arange(M, dtype=jnp.int32))
+
+        # cumulative newly-covered token counts as spans are added in order
+        token_pos = jnp.arange(T)
+
+        def cover_count(covered, start):
+            window = (token_pos >= start) & (token_pos < start + L)
+            new = jnp.sum(window & ~covered)
+            return covered | window, new
+
+        _, added = jax.lax.scan(cover_count, jnp.zeros((T,), bool), order)
+        cum = jnp.cumsum(added)  # [M] tokens covered by first u spans
+
+        min_u = num_masked_trg // L
+        max_u = max(num_masked_trg - L + 1, min_u)
+        u_candidates = jnp.arange(1, M + 1)
+        feasible = (cum <= num_masked_trg) & (u_candidates <= max_u)
+        u = jnp.maximum(jnp.max(jnp.where(feasible, u_candidates, 0)), min_u)
+
+        # token mask: any span with rank < u covers it
+        chosen = ranks < u  # [M] indicator over span starts
+        ind = jnp.concatenate([jnp.zeros(L - 1, jnp.int32),
+                               chosen.astype(jnp.int32)])
+        icum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(ind)])
+        # token t covered by starts in [t-L+1, t] -> window sum > 0
+        win = icum[token_pos + L] - icum[token_pos]
+        return win > 0
+
     def generate_magnet(self, params: dict, key: jax.Array,
                         prompt: tp.Optional[jax.Array] = None,
                         condition_tensors: tp.Optional[tp.Dict[str, ConditionType]] = None,
@@ -67,8 +115,7 @@ class MagnetLMModel(LMModel):
                         span_scoring: str = 'max',
                         span_arrangement: str = 'nonoverlap') -> jax.Array:
         """Iterative mask-predict decode (reference _generate_magnet, :152-262)."""
-        assert span_arrangement == 'nonoverlap', \
-            "overlapping-span (stride1) masking not implemented yet"
+        assert span_arrangement in ('nonoverlap', 'stride1')
         assert len(decoding_steps) == self.n_q
 
         if prompt is None:
@@ -103,7 +150,8 @@ class MagnetLMModel(LMModel):
                 max_cfg_coef=max_cfg_coef, min_cfg_coef=min_cfg_coef,
                 top_k=top_k, top_p=top_p, timesteps=n_steps,
                 anneal_temp=anneal_temp, span_scoring=span_scoring,
-                use_sampling=use_sampling, cross_kv=cross_kv)
+                use_sampling=use_sampling, cross_kv=cross_kv,
+                span_arrangement=span_arrangement)
         return curr
 
     def _generate_stage(self, params, key, gen_sequence, condition_tensors,
@@ -111,11 +159,13 @@ class MagnetLMModel(LMModel):
                         temp: float, max_cfg_coef: float, min_cfg_coef: float,
                         top_k: int, top_p: float, timesteps: int,
                         anneal_temp: bool, span_scoring: str,
-                        use_sampling: bool, cross_kv) -> jax.Array:
+                        use_sampling: bool, cross_kv,
+                        span_arrangement: str = 'nonoverlap') -> jax.Array:
         """One codebook level of iterative decoding (reference :293-441)."""
         B, K, T = gen_sequence.shape
         mask_id = self.special_token_id
-        chunk_masking = self.span_len > 1
+        lps_masking = span_arrangement == 'stride1' and self.span_len > 1
+        chunk_masking = self.span_len > 1 and not lps_masking
         span_len = self.span_len if chunk_masking else 1
 
         n_chunks = T // span_len
@@ -124,11 +174,20 @@ class MagnetLMModel(LMModel):
         T = T_trim
 
         stage_gen_seq = jnp.full((B, 1, T), mask_id, jnp.int32)
-        n_prompt_chunks = prompt_length // span_len
-        chunk_ids = jnp.arange(n_chunks)
-        scores = jnp.where(chunk_ids[None, None, :] < n_prompt_chunks,
-                           DONT_REMASK_ME_SCORE, 0.0).astype(jnp.float32)
-        num_chunks_to_gen = n_chunks - n_prompt_chunks
+        if lps_masking:
+            # token-wise scores (reference :339-343)
+            token_ids = jnp.arange(T)
+            scores = jnp.where(token_ids[None, None, :] < prompt_length,
+                               DONT_REMASK_ME_SCORE, 0.0).astype(jnp.float32)
+            gen_T = T - prompt_length
+            n_prompt_chunks = 0
+            num_chunks_to_gen = n_chunks
+        else:
+            n_prompt_chunks = prompt_length // span_len
+            chunk_ids = jnp.arange(n_chunks)
+            scores = jnp.where(chunk_ids[None, None, :] < n_prompt_chunks,
+                               DONT_REMASK_ME_SCORE, 0.0).astype(jnp.float32)
+            num_chunks_to_gen = n_chunks - n_prompt_chunks
 
         attn_mask = self.stage_attn_mask(stage, T)
         keys = jax.random.split(key, timesteps)
@@ -138,16 +197,22 @@ class MagnetLMModel(LMModel):
         for it, (timestep, steps_left) in enumerate(
                 zip(timestep_vals, reversed(range(timesteps)))):
             mask_p = float(np.cos(timestep * math.pi * 0.5))
-            num_masked = max(int(mask_p * num_chunks_to_gen), 1)
-
-            # re-mask the num_masked least-probable chunks (static k topk)
-            masked_idx = jax.lax.top_k(scores, num_masked)[1]  # [B, 1, k]
-            chunks_mask = jnp.zeros((B, 1, n_chunks), bool)
-            chunks_mask = chunks_mask.at[
-                jnp.arange(B)[:, None, None],
-                jnp.zeros((1, 1, 1), jnp.int32),
-                masked_idx].set(True)
-            mask = jnp.repeat(chunks_mask, span_len, axis=-1)  # [B, 1, T]
+            if lps_masking:
+                num_masked = max(int(mask_p * gen_T), 1)
+                mask = jax.vmap(
+                    lambda s: self._least_probable_span_masking(s, num_masked)
+                )(scores[:, 0, :])[:, None, :]  # [B, 1, T]
+                chunks_mask = mask  # token-wise fixed-score mask in this mode
+            else:
+                num_masked = max(int(mask_p * num_chunks_to_gen), 1)
+                # re-mask the num_masked least-probable chunks (static k topk)
+                masked_idx = jax.lax.top_k(scores, num_masked)[1]  # [B, 1, k]
+                chunks_mask = jnp.zeros((B, 1, n_chunks), bool)
+                chunks_mask = chunks_mask.at[
+                    jnp.arange(B)[:, None, None],
+                    jnp.zeros((1, 1, 1), jnp.int32),
+                    masked_idx].set(True)
+                mask = jnp.repeat(chunks_mask, span_len, axis=-1)  # [B, 1, T]
             stage_gen_seq = jnp.where(mask, mask_id, stage_gen_seq)
 
             if prompt_length:
@@ -185,15 +250,20 @@ class MagnetLMModel(LMModel):
             sampled_probs = jnp.take_along_axis(
                 probs, sampled[..., None], axis=-1)[..., 0]  # [B, 1, T]
 
-            if span_scoring == 'max':
+            if lps_masking:
+                # prod in log space, token-wise (reference :417)
+                scores = -jnp.log(jnp.maximum(sampled_probs, 1e-30))
+                scores = jnp.where(mask, scores, DONT_REMASK_ME_SCORE)
+            elif span_scoring == 'max':
                 scores = 1 - jnp.max(
                     sampled_probs.reshape(B, 1, n_chunks, -1), axis=-1)
+                scores = jnp.where(chunks_mask, scores, DONT_REMASK_ME_SCORE)
             elif span_scoring == 'prod':
                 scores = jnp.sum(
                     -jnp.log(jnp.maximum(sampled_probs, 1e-30))
                     .reshape(B, 1, n_chunks, -1), axis=-1)
+                scores = jnp.where(chunks_mask, scores, DONT_REMASK_ME_SCORE)
             else:
                 raise NotImplementedError(span_scoring)
-            scores = jnp.where(chunks_mask, scores, DONT_REMASK_ME_SCORE)
 
         return gen_sequence

@@ -55,3 +55,33 @@ def test_magnet_generate_with_prompt():
     assert (tokens[..., :6] == np.asarray(prompt)).all(), \
         "prompt must be preserved"
     assert (tokens < 400).all()
+
+
+def test_magnet_stride1_generation():
+    mg = get_debug_magnet(jax.random.PRNGKey(5))
+    mg.set_generation_params(decoding_steps=(3, 2, 2, 2),
+                             span_arrangement='stride1')
+    audio, tokens = mg.generate(['overlapping spans'],
+                                key=jax.random.PRNGKey(6), return_tokens=True)
+    tokens = np.asarray(tokens)
+    assert (tokens >= 0).all() and (tokens < 400).all()
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_least_probable_span_masking_coverage():
+    mg = get_debug_magnet(jax.random.PRNGKey(7))
+    lm = mg.lm
+    T = 30
+    scores = jnp.asarray(np.random.RandomState(0).rand(T).astype(np.float32))
+    for target in (3, 6, 12):
+        mask = np.asarray(lm._least_probable_span_masking(scores, target))
+        n = int(mask.sum())
+        # at least span_len tokens masked; close to the target from below,
+        # never wildly above it
+        assert n >= lm.span_len
+        assert n <= max(target, lm.span_len) + lm.span_len
+        # masked region is a union of spans of length >= span_len
+        runs = np.diff(np.flatnonzero(np.diff(
+            np.concatenate(([0], mask.astype(int), [0])))).reshape(-1, 2),
+            axis=1)
+        assert (runs >= lm.span_len).all()
