@@ -1,0 +1,99 @@
+"""ctypes bindings to the native C++ audio decoder (native/audio_decode.cc).
+
+Covers the compressed-format half of the reference's ``audio_read``
+(audio.py:117-151): mp3/ogg/flac/m4a decode with the reference's 0.1 s
+seek pre-roll semantics.  The library is built by ``native/build.sh``
+(g++ against the system ffmpeg libs); import fails gracefully when absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parent.parent.parent / "native" / \
+    "libaudiocraft_audio.so"
+
+_lib: tp.Optional[ctypes.CDLL] = None
+
+
+class NativeDecoderUnavailable(RuntimeError):
+    pass
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        raise NativeDecoderUnavailable(
+            f"native decoder not built — run {_LIB_PATH.parent}/build.sh")
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.act_decode_audio.restype = ctypes.c_int
+    lib.act_decode_audio.argtypes = [
+        ctypes.c_char_p, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int]
+    lib.act_audio_info.restype = ctypes.c_int
+    lib.act_audio_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_char_p, ctypes.c_int]
+    lib.act_free_buffer.restype = None
+    lib.act_free_buffer.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeDecoderUnavailable:
+        return False
+
+
+def decode_audio(path: tp.Union[str, Path], seek_time: float = 0.0,
+                 duration: float = -1.0) -> tp.Tuple[np.ndarray, int]:
+    """Decode any ffmpeg-supported file -> ([C, T] float32, sample_rate)."""
+    lib = _load()
+    data = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_int64()
+    channels = ctypes.c_int()
+    sr = ctypes.c_int()
+    err = ctypes.create_string_buffer(256)
+    ret = lib.act_decode_audio(str(path).encode(), float(seek_time),
+                               float(duration), ctypes.byref(data),
+                               ctypes.byref(frames), ctypes.byref(channels),
+                               ctypes.byref(sr), err, len(err))
+    if ret != 0:
+        raise RuntimeError(
+            f"native decode failed ({ret}) for {path}: "
+            f"{err.value.decode(errors='replace')}")
+    try:
+        n = frames.value * channels.value
+        arr = np.ctypeslib.as_array(data, shape=(n,)).copy()
+    finally:
+        lib.act_free_buffer(data)
+    return arr.reshape(frames.value, channels.value).T.copy(), sr.value
+
+
+def probe_audio(path: tp.Union[str, Path]) -> tp.Tuple[int, float, int]:
+    """(sample_rate, duration_seconds, channels) without decoding."""
+    lib = _load()
+    dur = ctypes.c_double()
+    channels = ctypes.c_int()
+    sr = ctypes.c_int()
+    err = ctypes.create_string_buffer(256)
+    ret = lib.act_audio_info(str(path).encode(), ctypes.byref(dur),
+                             ctypes.byref(channels), ctypes.byref(sr),
+                             err, len(err))
+    if ret != 0:
+        raise RuntimeError(
+            f"native probe failed ({ret}) for {path}: "
+            f"{err.value.decode(errors='replace')}")
+    return sr.value, dur.value, channels.value

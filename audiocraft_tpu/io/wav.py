@@ -110,10 +110,14 @@ def wav_write(wav: np.ndarray, filepath: tp.Union[str, Path], sample_rate: int,
 
 def audio_info(filepath: tp.Union[str, Path]) -> tp.Tuple[int, float, int]:
     """(sample_rate, duration_seconds, channels) without reading samples."""
-    data = Path(filepath).read_bytes()
-    fmt, _, size = _parse_wav_header(data)
-    n_frames = size // fmt['block_align']
-    return fmt['sample_rate'], n_frames / fmt['sample_rate'], fmt['channels']
+    path = Path(filepath)
+    if path.suffix.lower() == '.wav':
+        data = path.read_bytes()
+        fmt, _, size = _parse_wav_header(data)
+        n_frames = size // fmt['block_align']
+        return fmt['sample_rate'], n_frames / fmt['sample_rate'], fmt['channels']
+    from .native import probe_audio
+    return probe_audio(path)
 
 
 def audio_read(filepath: tp.Union[str, Path], seek_time: float = 0.0,
@@ -125,11 +129,10 @@ def audio_read(filepath: tp.Union[str, Path], seek_time: float = 0.0,
     suffix = path.suffix.lower()
     if suffix == '.wav':
         wav, sr = wav_read(path, seek_time, duration)
-    elif suffix == '.mp3':
-        from .mp3 import mp3_read  # optional native decoder
-        wav, sr = mp3_read(path, seek_time, duration)
     else:
-        raise ValueError(f"unsupported audio format: {suffix}")
+        # compressed formats via the native C++ decoder (mp3/ogg/flac/m4a...)
+        from .native import decode_audio
+        wav, sr = decode_audio(path, seek_time, duration)
     if pad and duration > 0:
         expected = int(duration * sr)
         if wav.shape[-1] < expected:

@@ -89,3 +89,30 @@ def test_info_audio_dataset(tmp_path):
     assert out.shape == (1, 8000)
     attrs = info.to_condition_attributes()
     assert attrs.text == {}
+
+
+def test_waveform_image(tmp_path):
+    from audiocraft_tpu.io.waveform import make_waveform_image, waveform_bars
+    wav = np.sin(np.linspace(0, 100, 32000)).astype(np.float32)
+    bars = waveform_bars(wav, 40)
+    assert bars.shape == (40,) and bars.max() <= 1.0
+    out = make_waveform_image(tmp_path / "wave.png", wav)
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_generation_history(tmp_path):
+    from audiocraft_tpu.apps.history import GenerationHistory
+    from audiocraft_tpu.io.wav import wav_write
+    wav = np.zeros((1, 1000), np.float32)
+    src = tmp_path / "src.wav"
+    wav_write(wav, src, 16000)
+    hist = GenerationHistory(tmp_path / "hist", user="tester")
+    e1 = hist.save(src, label="first", metadata={"text": "hello"})
+    e2 = hist.save(src, label="second")
+    assert len(hist.list()) == 2
+    assert (tmp_path / "hist" / "tester" / e1["audio"]).exists()
+    hist.delete(e1["audio"])
+    remaining = hist.list()
+    assert len(remaining) == 1 and remaining[0]["label"] == "second"
+    archive = hist.export_zip(tmp_path / "export")
+    assert archive.exists()
