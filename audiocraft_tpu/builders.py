@@ -53,10 +53,69 @@ def init_debug_compression_model(model: EncodecModel, key: jax.Array) -> dict:
     params = model.init(key)
     k1, k2 = jax.random.split(key)
     init_x = jax.random.normal(k1, (8, model.quantizer.dimension, 128))
-    _, params = model.forward(params, jnp.zeros((1, 1, 1)), key=k2) \
-        if False else (None, params)
     # warm kmeans directly on the latent batch
     res, new_state = model.quantizer.forward(
         params['quantizer'], init_x, frame_rate=1, key=k2, training=True)
     params['quantizer'] = new_state
     return params
+
+
+# ---------------------------------------------------------------- MusicGen
+
+_MUSICGEN_SIZES = {
+    # public MusicGen transformer shapes (300M / 1.5B / 3.3B)
+    'small': dict(dim=1024, num_layers=24, num_heads=16),
+    'medium': dict(dim=1536, num_layers=48, num_heads=24),
+    'large': dict(dim=2048, num_layers=48, num_heads=32),
+}
+
+
+def get_musicgen_lm(size: str = 'small', melody: bool = False,
+                    n_q: int = 4, card: int = 2048):
+    """MusicGen LM config for the published model sizes (reference
+    musicgen.py:100-143 pretrained map; builders.py:136-175 cfg factory).
+    Text conditions via T5 cross-attention; melody variants prepend chroma."""
+    from .cond.chroma_cond import ChromaConditioner
+    from .cond.conditioners import ConditioningProvider, T5Conditioner
+    from .cond.fuser import ConditionFuser
+    from .lm.model import LMModel
+    from .patterns import DelayedPatternProvider
+
+    shape = _MUSICGEN_SIZES[size]
+    conditioners = {
+        'description': T5Conditioner(name='t5-base', output_dim=shape['dim']),
+    }
+    fuse = {'cross': ('description',)}
+    if melody:
+        conditioners['self_wav'] = ChromaConditioner(
+            output_dim=shape['dim'], sample_rate=32000, n_chroma=12,
+            radix2_exp=12, duration=30.0)
+        fuse['prepend'] = ('self_wav',)
+    provider = ConditioningProvider.from_dict(conditioners)
+    fuser = ConditionFuser.from_dict(fuse)
+    lm = LMModel(
+        pattern_provider=DelayedPatternProvider(n_q), fuser=fuser,
+        n_q=n_q, card=card, hidden_scale=4, norm_first=True,
+        bias_proj=False, bias_ff=False, bias_attn=False,
+        cross_attention=True, causal=True, activation='gelu',
+        positional_embedding='sin', two_step_cfg=False, cfg_coef=3.0,
+        weight_init='gaussian', depthwise_init='current',
+        zero_bias_init=True, **shape)
+    return lm, provider
+
+
+def get_musicgen(size: str = 'small', melody: bool = False, key=None):
+    """Full MusicGen facade with the real architecture (random init; load
+    published weights through ckpt.torch_import when available)."""
+    import jax
+    from .gen.musicgen import MusicGen
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    codec = get_encodec_32khz()
+    lm, provider = get_musicgen_lm(size, melody=melody)
+    name = f'musicgen-{"melody-" if melody else ""}{size}'
+    return MusicGen(name=name, compression_model=codec,
+                    codec_params=codec.init(k1), lm=lm, lm_params=lm.init(k2),
+                    condition_provider=provider, cond_params=provider.init(k3),
+                    max_duration=30.0)

@@ -97,3 +97,51 @@ def probe_audio(path: tp.Union[str, Path]) -> tp.Tuple[int, float, int]:
             f"native probe failed ({ret}) for {path}: "
             f"{err.value.decode(errors='replace')}")
     return sr.value, dur.value, channels.value
+
+
+def decode_audio_batch(paths: tp.Sequence[tp.Union[str, Path]],
+                       seek_times: tp.Optional[tp.Sequence[float]] = None,
+                       durations: tp.Optional[tp.Sequence[float]] = None,
+                       num_threads: int = 8
+                       ) -> tp.List[tp.Tuple[np.ndarray, int]]:
+    """Parallel batch decode (GIL-free C++ thread pool).
+
+    Returns a list of ([C, T] float32, sample_rate); raises on the first
+    failed item.
+    """
+    lib = _load()
+    if not hasattr(lib, "_batch_ready"):
+        lib.act_decode_batch.restype = None
+        lib.act_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib._batch_ready = True
+    n = len(paths)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    c_seeks = (ctypes.c_double * n)(*(seek_times or [0.0] * n))
+    c_durs = (ctypes.c_double * n)(*(durations or [-1.0] * n))
+    datas = (ctypes.POINTER(ctypes.c_float) * n)()
+    frames = (ctypes.c_int64 * n)()
+    channels = (ctypes.c_int * n)()
+    srs = (ctypes.c_int * n)()
+    status = (ctypes.c_int * n)()
+    lib.act_decode_batch(c_paths, n, c_seeks, c_durs, datas, frames, channels,
+                         srs, status, num_threads)
+    out = []
+    error = None
+    for i in range(n):
+        if status[i] != 0:
+            error = error or RuntimeError(
+                f"native batch decode failed ({status[i]}) for {paths[i]}")
+            continue
+        count = frames[i] * channels[i]
+        arr = np.ctypeslib.as_array(datas[i], shape=(count,)).copy()
+        lib.act_free_buffer(datas[i])
+        out.append((arr.reshape(frames[i], channels[i]).T.copy(), srs[i]))
+    if error is not None:
+        raise error
+    return out

@@ -19,9 +19,11 @@ extern "C" {
 #include <libswresample/swresample.h>
 }
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -185,6 +187,11 @@ int decode_file(const char* path, double seek_time, double duration,
 
 extern "C" {
 
+// Quiet ffmpeg's info-level chatter (duration estimates etc.).
+__attribute__((constructor)) static void act_init_logging() {
+  av_log_set_level(AV_LOG_ERROR);
+}
+
 // Decode `path` starting at seek_time (s) for up to duration (s; <=0 = all).
 // On success (0), *out_data is a malloc'd interleaved float32 buffer the
 // caller must release with act_free_buffer.
@@ -240,5 +247,34 @@ int act_audio_info(const char* path, double* out_duration, int* out_channels,
 }
 
 void act_free_buffer(float* data) { free(data); }
+
+// Decode a batch of files in parallel with an internal thread pool — the
+// native data-loader hot path (GIL-free, one decoder per worker).  Outputs
+// are per-item malloc'd buffers; out_status[i] == 0 on success.
+void act_decode_batch(const char** paths, int n, const double* seek_times,
+                      const double* durations, float** out_datas,
+                      int64_t* out_frames, int* out_channels,
+                      int* out_sample_rates, int* out_status,
+                      int num_threads) {
+  if (num_threads <= 0) num_threads = 4;
+  if (num_threads > n) num_threads = n;
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    char err[256];
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      out_datas[i] = nullptr;
+      out_status[i] = act_decode_audio(
+          paths[i], seek_times ? seek_times[i] : 0.0,
+          durations ? durations[i] : -1.0, &out_datas[i], &out_frames[i],
+          &out_channels[i], &out_sample_rates[i], err, sizeof(err));
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
 
 }  // extern "C"

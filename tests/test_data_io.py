@@ -198,3 +198,29 @@ def test_dataset_full_file_mode(tmp_path):
     assert len(ds) == 3
     wav, info = ds[1]
     assert info.n_frames == wav.shape[-1]
+
+
+def test_native_decoder_assets():
+    from audiocraft_tpu.io.native import (available, decode_audio,
+                                          decode_audio_batch, probe_audio)
+    if not available():
+        pytest.skip("native decoder not built")
+    bach = "/root/reference/assets/bach.mp3"
+    sr, dur, ch = probe_audio(bach)
+    assert sr == 44100 and ch == 2 and 9 < dur < 11
+    wav, sr2 = decode_audio(bach)
+    assert sr2 == sr and wav.shape[0] == 2 and wav.shape[1] > 400000
+    # seeked read aligns sample-exactly with the full decode
+    seg, _ = decode_audio(bach, seek_time=1.0, duration=2.0)
+    np.testing.assert_array_equal(seg, wav[:, sr:sr + seg.shape[1]])
+    # parallel batch decode returns identical results
+    outs = decode_audio_batch([bach, bach], num_threads=2)
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][0], wav)
+
+
+def test_audio_read_mp3_dispatch():
+    from audiocraft_tpu.io.wav import audio_read
+    wav, sr = audio_read("/root/reference/assets/bach.mp3", seek_time=0.5,
+                         duration=1.0)
+    assert sr == 44100 and wav.shape == (2, 44100)
