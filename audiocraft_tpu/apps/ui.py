@@ -1,0 +1,131 @@
+"""Gradio UI — the interactive surface of the fork's app.py (:676-909).
+
+Gradio is not installed in the build environment, so this module gates on
+import and keeps the layer thin: all generation logic lives in the tested
+``predict`` function below (the counterpart of app.py:244-555), which the UI
+merely wires to widgets.  Run with:
+
+    python -m audiocraft_tpu.apps.ui [--port 7860]
+"""
+
+from __future__ import annotations
+
+import argparse
+import tempfile
+import typing as tp
+from pathlib import Path
+
+
+def predict(model, text: str, melody: tp.Optional[tuple] = None,
+            duration: float = 10.0, overlap: int = 2,
+            segment_duration: int = 30, seed: int = -1, top_k: int = 250,
+            top_p: float = 0.0, temperature: float = 1.0,
+            cfg_coef: float = 3.0,
+            history: tp.Optional[tp.Any] = None) -> tp.Tuple[Path, int]:
+    """Headless predict (app.py:244-555 without the UI plumbing):
+    text (+ optional melody) -> wav file path.  Long durations route through
+    the segment-stitch extension; results optionally land in a
+    GenerationHistory."""
+    import jax
+    import numpy as np
+    from ..gen.extend import generate_music_segments, stitch_segments
+    from ..io.wav import audio_write
+
+    if seed is None or seed < 0:
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+    key = jax.random.PRNGKey(seed)
+
+    model.set_generation_params(
+        duration=min(duration, model.max_duration), top_k=top_k, top_p=top_p,
+        temperature=temperature, cfg_coef=cfg_coef)
+
+    if melody is not None and duration > segment_duration:
+        sr_m, data = melody
+        segments, _ = generate_music_segments(
+            text, (sr_m, np.asarray(data, np.float32)), seed, model,
+            duration=int(duration), overlap=overlap,
+            segment_duration=segment_duration)
+        wav = stitch_segments(segments, model.sample_rate, overlap)
+    elif melody is not None:
+        sr_m, data = melody
+        arr = np.asarray(data, np.float32)
+        if arr.ndim == 1:
+            arr = arr[None]
+        wav = model.generate_with_chroma([text], [arr], sr_m, key=key)
+    else:
+        model.duration = duration
+        wav = model.generate([text], key=key)
+
+    out_dir = Path(tempfile.mkdtemp(prefix="audiocraft_tpu_"))
+    path = audio_write(out_dir / "generation", np.asarray(wav[0]),
+                       model.sample_rate, strategy="loudness")
+    if history is not None:
+        history.save(path, label=text,
+                     metadata={"seed": seed, "duration": duration,
+                               "text": text})
+    return path, seed
+
+
+def build_ui(model):
+    """Construct the Gradio Blocks UI (requires gradio)."""
+    try:
+        import gradio as gr
+    except ImportError as exc:  # pragma: no cover - env without gradio
+        raise RuntimeError(
+            "gradio is not installed; use apps.serve (REST) or apps.generate "
+            "(CLI) instead") from exc
+
+    from .history import GenerationHistory
+    history = GenerationHistory(Path.home() / ".audiocraft_tpu" / "history")
+
+    def _run(text, melody, duration, overlap, seed, top_k, top_p, temperature,
+             cfg_coef, progress=gr.Progress()):
+        model.set_custom_progress_callback(
+            lambda frac, msg: progress(frac, desc=msg))
+        path, used_seed = predict(
+            model, text, melody, duration=duration, overlap=int(overlap),
+            seed=int(seed), top_k=int(top_k), top_p=float(top_p),
+            temperature=float(temperature), cfg_coef=float(cfg_coef),
+            history=history)
+        return str(path), used_seed
+
+    with gr.Blocks(title="audiocraft_tpu") as demo:
+        gr.Markdown("# audiocraft_tpu — MusicGen on TPU")
+        with gr.Row():
+            with gr.Column():
+                text = gr.Textbox(label="Description")
+                melody = gr.Audio(label="Melody (optional)", type="numpy")
+                duration = gr.Slider(1, 720, value=10, label="Duration (s)")
+                overlap = gr.Slider(0, 15, value=2, step=1, label="Overlap (s)")
+                seed = gr.Number(value=-1, label="Seed (-1 = random)")
+                with gr.Accordion("Sampling", open=False):
+                    top_k = gr.Number(value=250, label="top_k")
+                    top_p = gr.Number(value=0.0, label="top_p")
+                    temperature = gr.Number(value=1.0, label="temperature")
+                    cfg_coef = gr.Number(value=3.0, label="cfg_coef")
+                submit = gr.Button("Generate", variant="primary")
+            with gr.Column():
+                audio_out = gr.Audio(label="Generated audio")
+                seed_out = gr.Number(label="Seed used")
+        submit.click(_run,
+                     inputs=[text, melody, duration, overlap, seed, top_k,
+                             top_p, temperature, cfg_coef],
+                     outputs=[audio_out, seed_out])
+    return demo
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--share", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    from ..gen.musicgen import get_debug_musicgen
+    model = get_debug_musicgen(jax.random.PRNGKey(0))
+    demo = build_ui(model)
+    demo.launch(server_port=args.port, share=args.share)
+
+
+if __name__ == "__main__":
+    main()

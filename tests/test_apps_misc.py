@@ -116,3 +116,34 @@ def test_generation_history(tmp_path):
     assert len(remaining) == 1 and remaining[0]["label"] == "second"
     archive = hist.export_zip(tmp_path / "export")
     assert archive.exists()
+
+
+def test_ui_predict_headless(tmp_path):
+    """The UI's predict core works without gradio (text + melody paths)."""
+    from audiocraft_tpu.apps.history import GenerationHistory
+    from audiocraft_tpu.apps.ui import predict
+    from audiocraft_tpu.gen.musicgen import get_debug_musicgen
+
+    model = get_debug_musicgen(jax.random.PRNGKey(0))
+    hist = GenerationHistory(tmp_path / "h")
+    path, seed = predict(model, "test tune", duration=1.0, seed=7,
+                         history=hist)
+    assert path.exists() and seed == 7
+    assert len(hist.list()) == 1
+
+    # melody on a non-melody model raises the documented error
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        predict(model, "x", melody=(32000, np.zeros(32000, np.float32)),
+                duration=1.0, seed=1)
+
+
+def test_ui_build_requires_gradio():
+    from audiocraft_tpu.apps.ui import build_ui
+    try:
+        import gradio  # noqa: F401
+        pytest.skip("gradio installed; UI would build")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="gradio is not installed"):
+        build_ui(model=None)

@@ -146,3 +146,38 @@ def test_streaming_decode_parity_vs_reference_streaming():
         outs.append(y_t)
     y = np.concatenate([np.asarray(o) for o in outs], axis=1)
     np.testing.assert_allclose(y, y_ref, atol=2e-5, rtol=1e-4)
+
+
+def test_transformer_musicgen_config_parity():
+    """The real MusicGen transformer shape: pre-norm, gelu, biasless FF/attn."""
+    import torch
+    ref_tr = ref_module("audiocraft.modules.transformer")
+    torch.manual_seed(31)
+    d_model, heads, layers, T, B = 64, 4, 3, 10, 2
+    ref = ref_tr.StreamingTransformer(
+        d_model=d_model, num_heads=heads, num_layers=layers, dropout=0.0,
+        custom=True, causal=True, cross_attention=True, norm_first=True,
+        bias_ff=False, bias_attn=False, activation=torch.nn.functional.gelu)
+    ref.eval()
+    x = np.random.RandomState(5).randn(B, T, d_model).astype(np.float32)
+    src = np.random.RandomState(6).randn(B, 4, d_model).astype(np.float32)
+    with torch.no_grad():
+        y_ref = to_np(ref(to_torch(x), cross_attention_src=to_torch(src)))
+
+    ours = StreamingTransformer(
+        d_model=d_model, num_heads=heads, num_layers=layers, causal=True,
+        cross_attention=True, norm_first=True, bias_ff=False, bias_attn=False,
+        activation='gelu')
+    params = jax.tree.map(jnp.asarray, import_transformer(_sd(ref), layers))
+    y, _ = ours(params, jnp.asarray(x), cross_attention_src=jnp.asarray(src))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-5, rtol=1e-4)
+
+    # and the streaming decode still matches batch in this config
+    caches = ours.init_cache(B, T)
+    outs = []
+    for t in range(T):
+        y_t, caches = ours(params, jnp.asarray(x[:, t:t + 1]), caches=caches,
+                           cross_attention_src=jnp.asarray(src))
+        outs.append(np.asarray(y_t))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), y_ref,
+                               atol=5e-5, rtol=1e-4)
