@@ -119,3 +119,35 @@ def get_musicgen(size: str = 'small', melody: bool = False, key=None):
                     codec_params=codec.init(k1), lm=lm, lm_params=lm.init(k2),
                     condition_provider=provider, cond_params=provider.init(k3),
                     max_duration=30.0)
+
+
+def get_jasco_model(compression_model=None, dim: int = 512, num_heads: int = 8,
+                    num_layers: int = 8, chords_dim: int = 16,
+                    drums_dim: int = 16, melody_dim: int = 16,
+                    flow_dim: int = 128, sequence_length: int = 500):
+    """JASCO flow-matching model + conditioning provider (reference
+    builders.py:94-124 + loaders.py:246-256).  Returns (model, provider)."""
+    from .cond.conditioners import T5Conditioner
+    from .cond.fuser import ConditionFuser
+    from .cond.jasco_conditioners import (ChordsEmbConditioner,
+                                          DrumsConditioner,
+                                          JascoConditioningProvider,
+                                          MelodyConditioner)
+    from .lm.flow_matching import FlowMatchingModel
+
+    codec = compression_model or get_encodec_32khz()
+    provider = JascoConditioningProvider.from_dict({
+        'description': T5Conditioner(name='t5-base', output_dim=dim),
+        'chords': ChordsEmbConditioner(card=194, out_dim=chords_dim),
+        'melody': MelodyConditioner(card=53, out_dim=melody_dim),
+        'self_wav': DrumsConditioner(
+            feat_extractor=codec, out_dim=drums_dim, sample_rate=32000,
+            compression_model_latent_dim=codec.quantizer.dimension,
+            compression_model_framerate=codec.frame_rate),
+    }, sequence_length=sequence_length)
+    fuser = ConditionFuser.from_dict({'cross': ('description',)})
+    model = FlowMatchingModel(
+        fuser=fuser, dim=dim, num_heads=num_heads, num_layers=num_layers,
+        flow_dim=flow_dim, chords_dim=chords_dim, drums_dim=drums_dim,
+        melody_dim=melody_dim)
+    return model, provider, codec
