@@ -55,6 +55,8 @@ class MusicGen:
     top_p: float = 0.0
     temperature: float = 1.0
     cfg_coef: float = 3.0
+    cfg_coef_beta: tp.Optional[float] = None
+    two_step_cfg: bool = False
 
     _progress_callback: tp.Optional[tp.Callable[[float, str], None]] = None
 
@@ -73,7 +75,10 @@ class MusicGen:
     def set_generation_params(self, use_sampling: bool = True, top_k: int = 250,
                               top_p: float = 0.0, temperature: float = 1.0,
                               duration: float = 30.0, cfg_coef: float = 3.0,
-                              extend_stride: float = 10.0):
+                              cfg_coef_beta: tp.Optional[float] = None,
+                              two_step_cfg: bool = False,
+                              extend_stride: float = 10.0,
+                              rep_penalty: tp.Optional[float] = None):
         assert extend_stride < self.max_duration, \
             "Cannot stride by more than max generation duration."
         self.duration = duration
@@ -83,6 +88,8 @@ class MusicGen:
         self.top_p = top_p
         self.temperature = temperature
         self.cfg_coef = cfg_coef
+        self.cfg_coef_beta = cfg_coef_beta
+        self.two_step_cfg = two_step_cfg
 
     def set_custom_progress_callback(self, cb) -> None:
         self._progress_callback = cb
@@ -135,8 +142,25 @@ class MusicGen:
         return cache[which]
 
     def _cfg_condition_tensors(self, attributes: tp.List[ConditioningAttributes]):
-        """conditions + null conditions, embedded together (lm.py:500-509)."""
+        """CFG condition groups (lm.py:489-509):
+        * 1-pass: [conditions; null];
+        * double CFG (cfg_coef_beta): [conditions; text-dropped; null];
+        * two-step: (conditions, null) as separate tensor dicts."""
+        from ..cond.attributes import drop_description_condition
         null_conditions = ClassifierFreeGuidanceDropout(p=1.0)(attributes)
+        if self.cfg_coef_beta is not None:
+            wav_conditions = drop_description_condition(
+                [a.copy() for a in attributes])
+            all_conditions = list(attributes) + wav_conditions + null_conditions
+            tokenized = self.condition_provider.tokenize(all_conditions)
+            return self.condition_provider(self.cond_params, tokenized)
+        if self.two_step_cfg:
+            cond = self.condition_provider(
+                self.cond_params, self.condition_provider.tokenize(attributes))
+            null = self.condition_provider(
+                self.cond_params,
+                self.condition_provider.tokenize(null_conditions))
+            return (cond, null)
         all_conditions = list(attributes) + null_conditions
         tokenized = self.condition_provider.tokenize(all_conditions)
         return self.condition_provider(self.cond_params, tokenized)
@@ -228,12 +252,15 @@ class MusicGen:
         num_samples = len(attributes)
         prompt_len = 0 if prompt_tokens is None else prompt_tokens.shape[-1]
         sig = (num_samples, prompt_len, max_gen_len, self.use_sampling,
-               self.temperature, self.top_k, self.top_p, self.cfg_coef)
+               self.temperature, self.top_k, self.top_p, self.cfg_coef,
+               self.cfg_coef_beta, self.two_step_cfg,
+               isinstance(condition_tensors, tuple))
         cache = self.__dict__.setdefault('_gen_jit_cache', {})
         if sig not in cache:
             lm = self.lm
             use_sampling, temp = self.use_sampling, self.temperature
             top_k, top_p, cfg_coef = self.top_k, self.top_p, self.cfg_coef
+            cfg_coef_beta, two_step = self.cfg_coef_beta, self.two_step_cfg
 
             if prompt_len == 0:
                 def fn(params, key, cond):
@@ -241,14 +268,16 @@ class MusicGen:
                         params, key, prompt=None, condition_tensors=cond,
                         num_samples=num_samples, max_gen_len=max_gen_len,
                         use_sampling=use_sampling, temp=temp, top_k=top_k,
-                        top_p=top_p, cfg_coef=cfg_coef)
+                        top_p=top_p, cfg_coef=cfg_coef,
+                        cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step)
             else:
                 def fn(params, key, cond, prompt):
                     return lm.generate(
                         params, key, prompt=prompt, condition_tensors=cond,
                         num_samples=num_samples, max_gen_len=max_gen_len,
                         use_sampling=use_sampling, temp=temp, top_k=top_k,
-                        top_p=top_p, cfg_coef=cfg_coef)
+                        top_p=top_p, cfg_coef=cfg_coef,
+                        cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step)
             cache[sig] = jax.jit(fn)
         if prompt_len == 0:
             return cache[sig](self.lm_params, key, condition_tensors)

@@ -206,16 +206,29 @@ class LMModel:
 
     # -------------------------------------------------------------- generate
     def _combine_cfg(self, all_logits: jax.Array, B: int, has_cfg: bool,
-                     cfg_coef: float) -> jax.Array:
+                     cfg_coef: float,
+                     cfg_coef_beta: tp.Optional[float] = None) -> jax.Array:
         if not has_cfg:
             return all_logits
+        if cfg_coef_beta is not None:
+            # double CFG (MusicGen-Style, lm.py:362-377): groups are
+            # [text+style cond, style-only cond, uncond]
+            cond_logits = all_logits[:B]
+            wav_logits = all_logits[B:2 * B]
+            uncond_logits = all_logits[2 * B:3 * B]
+            return uncond_logits + cfg_coef * (
+                wav_logits + cfg_coef_beta * (cond_logits - wav_logits)
+                - uncond_logits)
         cond_logits = all_logits[:B]
         uncond_logits = all_logits[B:2 * B]
         return uncond_logits + (cond_logits - uncond_logits) * cfg_coef
 
     def generate(self, params: dict, key: jax.Array,
                  prompt: tp.Optional[jax.Array] = None,
-                 condition_tensors: tp.Optional[tp.Dict[str, ConditionType]] = None,
+                 condition_tensors: tp.Optional[tp.Union[
+                     tp.Dict[str, ConditionType],
+                     tp.Tuple[tp.Dict[str, ConditionType],
+                              tp.Dict[str, ConditionType]]]] = None,
                  num_samples: int = 1,
                  max_gen_len: int = 256,
                  use_sampling: bool = True,
@@ -223,17 +236,28 @@ class LMModel:
                  top_k: int = 250,
                  top_p: float = 0.0,
                  cfg_coef: tp.Optional[float] = None,
+                 cfg_coef_beta: tp.Optional[float] = None,
+                 two_step_cfg: tp.Optional[bool] = None,
                  remove_prompts: bool = False,
                  ) -> jax.Array:
         """AR generation over the pattern sequence (reference lm.py:420-588).
 
-        ``condition_tensors``, when provided for CFG, must already contain the
-        concatenated [conditions; null_conditions] along the batch axis (the
-        reference builds this at lm.py:500-509); the model input is batch-
-        doubled accordingly.  Returns codes [B, K, max_gen_len] (prompt
-        included unless ``remove_prompts``).
+        CFG variants (lm.py:352-416):
+        * 1-pass CFG (default): ``condition_tensors`` is a dict whose rows are
+          the concatenated [conditions; null_conditions] along the batch axis;
+          the model input is batch-doubled.
+        * double CFG (``cfg_coef_beta``, MusicGen-Style): rows are
+          [text+style; style-only; null]; model input is batch-tripled.
+        * two-step CFG: ``condition_tensors`` is a (cond, null) tuple; two
+          forwards per step with independent KV caches (the reference's
+          streaming-state swap trick, lm.py:378-387, becomes two explicit
+          cache pytrees).
+
+        Returns codes [B, K, max_gen_len] (prompt included unless
+        ``remove_prompts``).
         """
         cfg_coef = self.cfg_coef if cfg_coef is None else cfg_coef
+        two_step_cfg = self.two_step_cfg if two_step_cfg is None else two_step_cfg
         if prompt is None:
             prompt = jnp.zeros((num_samples, self.num_codebooks, 0), jnp.int32)
         B, K, T = prompt.shape
@@ -255,10 +279,20 @@ class LMModel:
         start_offset_sequence = pattern.get_first_step_with_timesteps(start_offset)
         assert start_offset_sequence is not None
 
-        has_cfg = condition_tensors is not None and len(condition_tensors) > 0
+        is_two_step = isinstance(condition_tensors, tuple)
+        if is_two_step:
+            assert two_step_cfg or True  # tuple input implies two-step mode
+            cond_tensors, null_tensors = condition_tensors
+            has_cfg = len(cond_tensors) > 0
+            condition_tensors = cond_tensors
+        else:
+            has_cfg = condition_tensors is not None and len(condition_tensors) > 0
         if condition_tensors is None:
             condition_tensors = {}
-        model_batch = 2 * B if has_cfg else B
+        n_groups = 1
+        if has_cfg and not is_two_step:
+            n_groups = 3 if cfg_coef_beta is not None else 2
+        model_batch = n_groups * B
 
         # capacity: S steps + prepended conditioning length
         prepend_len = 0
@@ -267,26 +301,47 @@ class LMModel:
                 if name in condition_tensors:
                     prepend_len += condition_tensors[name][0].shape[1]
         capacity = S + prepend_len
-        caches = self.init_cache(model_batch, capacity)
 
-        cross_kv = None
-        if self.cross_attention and condition_tensors:
+        def make_cross_kv(tensors, batch):
+            if not (self.cross_attention and tensors):
+                return None
             _, cross_src = self.fuser(
-                jnp.zeros((model_batch, 1, self.dim)), condition_tensors,
-                first_step=False)
-            if cross_src is not None:
-                cross_kv = self.transformer.precompute_cross_kv(
-                    params['transformer'], cross_src)
+                jnp.zeros((batch, 1, self.dim)), tensors, first_step=False)
+            if cross_src is None:
+                return None
+            return self.transformer.precompute_cross_kv(
+                params['transformer'], cross_src)
 
-        def model_step(seq_chunk, caches, first_step):
-            """seq_chunk: [B, K, s]; returns logits [B, K, s, card] after CFG."""
-            doubled = jnp.concatenate([seq_chunk, seq_chunk], axis=0) \
-                if has_cfg else seq_chunk
-            logits, new_caches = self.forward(
-                params, doubled, condition_tensors, caches=caches,
-                cross_kv=cross_kv, first_step=first_step)
-            logits = self._combine_cfg(logits, B, has_cfg, cfg_coef)
-            return logits, new_caches
+        if is_two_step and has_cfg:
+            caches = (self.init_cache(B, capacity),
+                      self.init_cache(B, capacity))
+            cross_kv_cond = make_cross_kv(condition_tensors, B)
+            cross_kv_null = make_cross_kv(null_tensors, B)
+
+            def model_step(seq_chunk, caches, first_step):
+                cond_caches, null_caches = caches
+                cond_logits, cond_caches = self.forward(
+                    params, seq_chunk, condition_tensors, caches=cond_caches,
+                    cross_kv=cross_kv_cond, first_step=first_step)
+                uncond_logits, null_caches = self.forward(
+                    params, seq_chunk, null_tensors, caches=null_caches,
+                    cross_kv=cross_kv_null, first_step=first_step)
+                logits = uncond_logits + (cond_logits - uncond_logits) * cfg_coef
+                return logits, (cond_caches, null_caches)
+        else:
+            caches = self.init_cache(model_batch, capacity)
+            cross_kv = make_cross_kv(condition_tensors, model_batch)
+
+            def model_step(seq_chunk, caches, first_step):
+                """seq_chunk: [B, K, s] -> logits [B, K, s, card] after CFG."""
+                tiled = jnp.concatenate([seq_chunk] * n_groups, axis=0) \
+                    if has_cfg else seq_chunk
+                logits, new_caches = self.forward(
+                    params, tiled, condition_tensors, caches=caches,
+                    cross_kv=cross_kv, first_step=first_step)
+                logits = self._combine_cfg(logits, B, has_cfg, cfg_coef,
+                                           cfg_coef_beta)
+                return logits, new_caches
 
         keys = jax.random.split(key, S)
 

@@ -165,3 +165,47 @@ def test_lm_generate_sampling_shapes():
     tokens = np.asarray(tokens)
     assert tokens.shape == (1, N_Q, 8)
     assert (tokens >= 0).all() and (tokens <= CARD).all()
+
+
+def test_lm_two_step_cfg_matches_one_pass_greedy():
+    """Two-step CFG and 1-pass CFG compute identical greedy tokens when the
+    condition tensors agree (the reference keeps both paths for padding
+    equivalence checks, lm.py:378-399)."""
+    ours = _make_our_lm()
+    params = ours.init(jax.random.PRNGKey(0))
+    B, max_gen_len = 2, 8
+    cond, mask = _cond(B, seed=13)
+    null_cond = np.zeros_like(cond)
+    null_mask = np.zeros_like(mask)
+
+    stacked = {"description": (jnp.asarray(np.concatenate([cond, null_cond])),
+                               jnp.asarray(np.concatenate([mask, null_mask])))}
+    tokens1 = ours.generate(params, jax.random.PRNGKey(1),
+                            condition_tensors=stacked, num_samples=B,
+                            max_gen_len=max_gen_len, use_sampling=False,
+                            cfg_coef=3.0)
+
+    pair = ({"description": (jnp.asarray(cond), jnp.asarray(mask))},
+            {"description": (jnp.asarray(null_cond), jnp.asarray(null_mask))})
+    tokens2 = ours.generate(params, jax.random.PRNGKey(1),
+                            condition_tensors=pair, num_samples=B,
+                            max_gen_len=max_gen_len, use_sampling=False,
+                            cfg_coef=3.0, two_step_cfg=True)
+    assert (np.asarray(tokens1) == np.asarray(tokens2)).all()
+
+
+def test_lm_double_cfg_runs():
+    """Double CFG (cfg_coef_beta, MusicGen-Style) with 3 condition groups."""
+    ours = _make_our_lm()
+    params = ours.init(jax.random.PRNGKey(0))
+    B, max_gen_len = 1, 8
+    cond, mask = _cond(3 * B, seed=17)
+    tokens = ours.generate(
+        params, jax.random.PRNGKey(2),
+        condition_tensors={"description": (jnp.asarray(cond),
+                                           jnp.asarray(mask))},
+        num_samples=B, max_gen_len=max_gen_len, use_sampling=False,
+        cfg_coef=3.0, cfg_coef_beta=4.0)
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (B, N_Q, max_gen_len)
+    assert (tokens >= 0).all() and (tokens <= CARD).all()
