@@ -8,8 +8,6 @@ plain dicts (see ckpt/).
 
 from __future__ import annotations
 
-import typing as tp
-
 import jax
 
 from .codec.encodec import EncodecModel
@@ -49,7 +47,6 @@ def get_debug_compression_model(sample_rate: int = 32000) -> EncodecModel:
 def init_debug_compression_model(model: EncodecModel, key: jax.Array) -> dict:
     """Init params and warm the quantizer k-means on one random batch, like the
     reference debug builder (builders.py:277-278)."""
-    import jax.numpy as jnp
     params = model.init(key)
     k1, k2 = jax.random.split(key)
     init_x = jax.random.normal(k1, (8, model.quantizer.dimension, 128))

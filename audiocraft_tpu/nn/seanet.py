@@ -23,7 +23,6 @@ import dataclasses
 import typing as tp
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .activations import get_activation_fn
