@@ -31,6 +31,21 @@ def get_encodec_32khz(n_filters: int = 64, dimension: int = 128,
                         sample_rate=32000, channels=1, causal=causal)
 
 
+def get_encodec_24khz(n_filters: int = 32, dimension: int = 128,
+                      n_q: int = 8, bins: int = 1024) -> EncodecModel:
+    """The causal streaming EnCodec 24 kHz config (facebook/encodec_24khz:
+    hop 320, 75 Hz frame rate, causal convs, renormalize)."""
+    ratios = (8, 5, 4, 2)
+    seanet = dict(channels=1, dimension=dimension, n_filters=n_filters,
+                  n_residual_layers=1, ratios=ratios, norm='weight_norm',
+                  lstm=2, causal=True)
+    encoder = SEANetEncoder(**seanet)
+    decoder = SEANetDecoder(**seanet)
+    quantizer = ResidualVectorQuantizer(dimension=dimension, n_q=n_q, bins=bins)
+    return EncodecModel(encoder, decoder, quantizer, frame_rate=75,
+                        sample_rate=24000, channels=1, causal=True)
+
+
 def get_debug_compression_model(sample_rate: int = 32000) -> EncodecModel:
     """Tiny codec for tests (reference builders.py:257-288)."""
     assert sample_rate in (16000, 32000)

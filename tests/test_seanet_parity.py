@@ -121,3 +121,17 @@ def test_encodec_renormalize_roundtrip():
     assert scale is not None and scale.shape == (2, 1)
     out = ours.decode(params, codes, scale)
     assert out.shape[0] == 2 and out.shape[1] == 1
+
+
+def test_encodec_24khz_causal_config():
+    """Causal streaming config (facebook/encodec_24khz shape)."""
+    from audiocraft_tpu.builders import get_encodec_24khz
+    model = get_encodec_24khz(n_filters=4)  # slim for test speed
+    assert model.causal and model.frame_rate == 75
+    params = model.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(np.random.RandomState(0).randn(1, 1, 24000)
+                      .astype(np.float32) * 0.1)
+    codes, scale = model.encode(params, wav)
+    assert codes.shape == (1, 8, 75)
+    out = model.decode(params, codes)
+    assert out.shape[-1] >= 24000
