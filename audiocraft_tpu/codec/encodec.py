@@ -130,7 +130,8 @@ class EncodecModel:
     def forward(self, params: dict, x: jax.Array, *,
                 key: tp.Optional[jax.Array] = None, training: bool = False,
                 n_q_active: tp.Optional[jax.Array] = None,
-                axis_name: tp.Optional[str] = None
+                axis_name: tp.Optional[str] = None,
+                expiry: str = 'reference'
                 ) -> tp.Tuple[QuantizedResult, dict]:
         """Training/eval forward with reconstruction (reference encodec.py:206-221).
 
@@ -144,7 +145,7 @@ class EncodecModel:
         state = _q_state(self.quantizer, params['quantizer'])
         q_res, new_state = self.quantizer.forward(
             state, emb, self.frame_rate, key=key, training=training,
-            n_q_active=n_q_active, axis_name=axis_name)
+            n_q_active=n_q_active, axis_name=axis_name, expiry=expiry)
         out = self.decoder(params['decoder'], q_res.x)
         assert out.shape[-1] >= length, (out.shape[-1], length)
         out = out[..., :length]

@@ -22,13 +22,20 @@ from ..lm.model import LMModel
 
 
 def encodec_loss(model: EncodecModel, grad_params: dict, ema_state, x: jax.Array,
-                 key: jax.Array, commit_weight: float = 1.0
+                 key: jax.Array, commit_weight: float = 1.0,
+                 expiry: str = 'effective'
                  ) -> tp.Tuple[jax.Array, tp.Tuple]:
     """Reconstruction (L1 + L2) + commitment penalty.  The quantizer state is
-    a non-differentiable side state updated by EMA inside the forward."""
+    a non-differentiable side state updated by EMA inside the forward.
+
+    Training defaults to expiry='effective' (dead codes resurrected): the
+    reference's literal expiry is a no-op within a step (core_vq.py:205-217
+    overwrites the replaced rows), which we found collapses codebook 0 when
+    training from scratch on small corpora."""
     params = dict(grad_params)
     params['quantizer'] = ema_state
-    q_res, new_params = model.forward(params, x, key=key, training=True)
+    q_res, new_params = model.forward(params, x, key=key, training=True,
+                                      expiry=expiry)
     recon = q_res.x
     l1 = jnp.mean(jnp.abs(recon - x))
     l2 = jnp.mean(jnp.square(recon - x))

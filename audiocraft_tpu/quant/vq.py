@@ -148,12 +148,17 @@ class ResidualVectorQuantizer:
     def forward(self, state: RVQState, x: jax.Array, frame_rate: float,
                 key: tp.Optional[jax.Array] = None, training: bool = False,
                 n_q_active: tp.Optional[jax.Array] = None,
-                axis_name: tp.Optional[str] = None
+                axis_name: tp.Optional[str] = None,
+                expiry: str = 'reference'
                 ) -> tp.Tuple[QuantizedResult, RVQState]:
         """Training/eval forward (reference vq.py:76-91 + core_vq forward path).
 
         Returns the quantized tensor (with STE in training), codes, bandwidth,
-        commitment penalty, and the updated EMA state.
+        commitment penalty, and the updated EMA state.  ``expiry`` selects the
+        dead-code behavior (see codebook.EuclideanCodebook.ema_update):
+        'reference' replicates the reference exactly (expiry is inert within a
+        step — prone to codebook collapse when training from scratch on small
+        data), 'effective' actually resurrects dead codes.
         """
         n_q = self.n_q
         xt = jnp.swapaxes(x, 1, 2).astype(jnp.float32)  # [B, T, D]
@@ -185,7 +190,7 @@ class ResidualVectorQuantizer:
 
             if training:
                 upd = cb.ema_update(st, lax.stop_gradient(residual), idx, lkey,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name, expiry=expiry)
                 st = jax.tree.map(
                     lambda new, old: jnp.where(active, new, old), upd, st)
 

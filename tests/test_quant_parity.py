@@ -120,3 +120,34 @@ def test_ema_training_step_matches_reference():
         np.testing.assert_allclose(
             np.asarray(new_state.embed[q]), sd_after[f"{base}.embed"],
             atol=1e-4, rtol=1e-4)
+
+
+def test_effective_expiry_resurrects_dead_codes():
+    """The reference's literal expiry is inert within a step (embed is
+    overwritten by embed_normalized right after, core_vq.py:205-217); the
+    'effective' mode actually replaces dead codes.  On clusterable data the
+    effective mode must keep more of the codebook alive."""
+    rng = np.random.RandomState(0)
+    rvq = ResidualVectorQuantizer(dimension=8, n_q=1, bins=32,
+                                  kmeans_init=False, decay=0.8,
+                                  threshold_ema_dead_code=2.0)
+    # data drawn from 16 well-separated clusters
+    centers = rng.randn(16, 8).astype(np.float32) * 5
+
+    def run(expiry):
+        state = rvq.init(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        for step in range(30):
+            batch = centers[rng.randint(0, 16, 256)] \
+                + 0.05 * rng.randn(256, 8).astype(np.float32)
+            x = jnp.asarray(batch.T[None])  # [1, D, T]
+            key, sub = jax.random.split(key)
+            _, state = rvq.forward(state, x, frame_rate=1, key=sub,
+                                   training=True, expiry=expiry)
+        codes = rvq.encode(state, jnp.asarray(centers.T[None]))
+        return len(np.unique(np.asarray(codes)))
+
+    used_ref = run('reference')
+    used_eff = run('effective')
+    assert used_eff >= used_ref
+    assert used_eff >= 8, f"effective expiry should keep codes alive, got {used_eff}"
