@@ -239,6 +239,7 @@ class LMModel:
                  cfg_coef_beta: tp.Optional[float] = None,
                  two_step_cfg: tp.Optional[bool] = None,
                  remove_prompts: bool = False,
+                 compute_dtype: tp.Optional[tp.Any] = None,
                  ) -> jax.Array:
         """AR generation over the pattern sequence (reference lm.py:420-588).
 
@@ -258,6 +259,20 @@ class LMModel:
         """
         cfg_coef = self.cfg_coef if cfg_coef is None else cfg_coef
         two_step_cfg = self.two_step_cfg if two_step_cfg is None else two_step_cfg
+        if compute_dtype is not None:
+            # bf16 decode: transformer/embedding matmuls in the MXU-native
+            # dtype; attention softmax, output logits, CFG combine, and
+            # sampling stay fp32 (see nn/transformer._attend / apply_heads).
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if hasattr(a, 'dtype') and jnp.issubdtype(a.dtype, jnp.floating)
+                else a, t)
+            params = cast(params)
+            if condition_tensors is not None:
+                condition_tensors = jax.tree.map(
+                    lambda a: a.astype(compute_dtype)
+                    if hasattr(a, 'dtype') and jnp.issubdtype(a.dtype, jnp.floating)
+                    else a, condition_tensors)
         if prompt is None:
             prompt = jnp.zeros((num_samples, self.num_codebooks, 0), jnp.int32)
         B, K, T = prompt.shape
@@ -301,6 +316,7 @@ class LMModel:
                 if name in condition_tensors:
                     prepend_len += condition_tensors[name][0].shape[1]
         capacity = S + prepend_len
+        cache_dtype = compute_dtype or jnp.float32
 
         def make_cross_kv(tensors, batch):
             if not (self.cross_attention and tensors):
@@ -313,8 +329,8 @@ class LMModel:
                 params['transformer'], cross_src)
 
         if is_two_step and has_cfg:
-            caches = (self.init_cache(B, capacity),
-                      self.init_cache(B, capacity))
+            caches = (self.init_cache(B, capacity, cache_dtype),
+                      self.init_cache(B, capacity, cache_dtype))
             cross_kv_cond = make_cross_kv(condition_tensors, B)
             cross_kv_null = make_cross_kv(null_tensors, B)
 
@@ -329,7 +345,7 @@ class LMModel:
                 logits = uncond_logits + (cond_logits - uncond_logits) * cfg_coef
                 return logits, (cond_caches, null_caches)
         else:
-            caches = self.init_cache(model_batch, capacity)
+            caches = self.init_cache(model_batch, capacity, cache_dtype)
             cross_kv = make_cross_kv(condition_tensors, model_batch)
 
             def model_step(seq_chunk, caches, first_step):
