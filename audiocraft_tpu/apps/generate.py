@@ -32,6 +32,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+    from ..utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     from ..gen.extend import generate_music_segments, stitch_segments
     from ..gen.musicgen import get_debug_melody_musicgen, get_debug_musicgen

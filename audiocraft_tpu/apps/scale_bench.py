@@ -34,6 +34,8 @@ def main(argv=None):
         os.environ['JAX_PLATFORMS'] = 'cpu'
 
     import jax
+    from ..utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     if args.cpu_virtual:
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp

@@ -33,6 +33,8 @@ def _wav_bytes(wav, sample_rate: int) -> bytes:
 
 def make_handler(model, lock: threading.Lock):
     import jax
+    from ..utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
 
     class Handler(BaseHTTPRequestHandler):

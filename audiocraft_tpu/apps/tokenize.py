@@ -1,13 +1,16 @@
 """CLI: batch audio tokenization (the production EnCodec pipeline).
 
 Usage:
-    python -m audiocraft_tpu.apps.tokenize IN.wav [IN2.wav ...] \
-        --out tokens.npz [--checkpoint CKPT_DIR] [--n-q 4] [--batch-seconds 10]
+    python -m audiocraft_tpu.apps.tokenize IN.wav [IN2.mp3 ...] \
+        --out tokens.npz [--checkpoint CKPT_DIR] [--n-q 4] \
+        [--batch-seconds 10] [--batch-rows 32]
 
-Encodes audio files to RVQ token streams on the available accelerator,
-sharding the batch across all local devices (data parallel).  Without a
-checkpoint, a randomly-initialized 32 kHz EnCodec config is used (useful for
-throughput measurement; tokens are only meaningful with trained weights).
+A streaming pipeline: the native C++ batch decoder (GIL-free thread pool)
+prefetches and decodes the next batch while the TPU encodes the current one;
+host->device transfers are async.  Fixed [batch-rows, 1, batch-seconds*sr]
+shapes mean one compile for the whole corpus.  Without a checkpoint, a
+randomly-initialized 32 kHz EnCodec config is used (throughput measurement;
+tokens are only meaningful with trained weights).
 """
 
 from __future__ import annotations
@@ -16,30 +19,44 @@ import argparse
 import json
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
 
 
+def _plan_chunks(paths, seconds, sample_rates):
+    """Static work list: (path, seek_time, row_meta) per fixed-length chunk."""
+    chunks = []
+    for path, (sr, dur, _ch) in zip(paths, sample_rates):
+        n = max(int(np.ceil(dur / seconds)), 1)
+        for i in range(n):
+            chunks.append((str(path), i * seconds,
+                           {'path': str(path), 'start': i * seconds}))
+    return chunks
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument('inputs', nargs='+', help='audio files (wav)')
+    parser.add_argument('inputs', nargs='+', help='audio files (wav/mp3/...)')
     parser.add_argument('--out', default='tokens.npz')
-    parser.add_argument('--checkpoint', default=None,
-                        help='checkpoint dir from ckpt.save_checkpoint')
+    parser.add_argument('--checkpoint', default=None)
     parser.add_argument('--n-q', type=int, default=None)
-    parser.add_argument('--batch-seconds', type=float, default=10.0,
-                        help='segment length per batch row')
-    parser.add_argument('--stats', action='store_true',
-                        help='print throughput stats to stderr')
+    parser.add_argument('--batch-seconds', type=float, default=10.0)
+    parser.add_argument('--batch-rows', type=int, default=32)
+    parser.add_argument('--decode-threads', type=int, default=8)
+    parser.add_argument('--stats', action='store_true')
     args = parser.parse_args(argv)
 
     import jax
+    from ..utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from ..builders import get_encodec_32khz
     from ..ckpt.io import load_checkpoint
     from ..io.audio_utils import convert_audio
-    from ..io.wav import audio_read
+    from ..io.wav import audio_info
+    from ..io import native
 
     if args.checkpoint:
         model, params, _ = load_checkpoint(args.checkpoint)
@@ -50,34 +67,58 @@ def main(argv=None):
     if args.n_q:
         model = model.set_num_codebooks(args.n_q)
 
-    seg = int(args.batch_seconds * model.sample_rate)
-    rows = []
-    row_meta = []
-    for path in args.inputs:
-        wav, sr = audio_read(path)
-        wav = np.asarray(convert_audio(jnp.asarray(wav), sr, model.sample_rate,
-                                       model.channels))
-        for start in range(0, wav.shape[-1], seg):
-            chunk = wav[..., start:start + seg]
-            pad = seg - chunk.shape[-1]
-            if pad:
-                chunk = np.pad(chunk, ((0, 0), (0, pad)))
-            rows.append(chunk)
-            row_meta.append({'path': str(path), 'start': start / model.sample_rate,
-                             'pad': pad})
+    sr_model = model.sample_rate
+    seg = int(args.batch_seconds * sr_model)
+    infos = [audio_info(p) for p in args.inputs]
+    chunks = _plan_chunks(args.inputs, args.batch_seconds, infos)
+    rows_meta = [m for _, _, m in chunks]
 
-    batch = jnp.asarray(np.stack(rows))
+    use_native = native.available() and any(
+        not str(p).endswith('.wav') for p in args.inputs)
+
+    def load_batch(batch_chunks):
+        """Decode + resample one batch on the host -> [R, 1, seg] float32."""
+        paths = [c[0] for c in batch_chunks]
+        seeks = [c[1] for c in batch_chunks]
+        durs = [args.batch_seconds] * len(batch_chunks)
+        if use_native:
+            decoded = native.decode_audio_batch(
+                paths, seeks, durs, num_threads=args.decode_threads)
+        else:
+            from ..io.wav import audio_read
+            decoded = [audio_read(p, s, d) for p, s, d in zip(paths, seeks, durs)]
+        rows = np.zeros((args.batch_rows, 1, seg), np.float32)
+        for i, (wav, sr) in enumerate(decoded):
+            mono = np.asarray(convert_audio(jnp.asarray(wav), sr, sr_model, 1))
+            t = min(mono.shape[-1], seg)
+            rows[i, :, :t] = mono[..., :t]
+        return rows
+
     encode = jax.jit(lambda p, x: model.encode(p, x)[0])
+    batches = [chunks[i:i + args.batch_rows]
+               for i in range(0, len(chunks), args.batch_rows)]
+
+    # pipeline: decode batch i+1 on host threads while the device encodes i
+    all_codes = []
     t0 = time.perf_counter()
-    codes = np.asarray(encode(params, batch))
+    with ThreadPoolExecutor(1) as prefetch:
+        future = prefetch.submit(load_batch, batches[0])
+        for i in range(len(batches)):
+            host_batch = future.result()
+            if i + 1 < len(batches):
+                future = prefetch.submit(load_batch, batches[i + 1])
+            codes = encode(params, jnp.asarray(host_batch))
+            all_codes.append(np.asarray(codes)[:len(batches[i])])
     dt = time.perf_counter() - t0
+
+    codes = np.concatenate(all_codes, axis=0)
     if args.stats:
-        audio_sec = batch.shape[0] * args.batch_seconds
+        audio_sec = len(chunks) * args.batch_seconds
         print(f"tokenized {audio_sec:.0f} audio-sec in {dt:.2f}s "
               f"({audio_sec / dt:.0f} audio-sec/s)", file=sys.stderr)
 
     np.savez(args.out, codes=codes,
-             meta=np.frombuffer(json.dumps(row_meta).encode(), np.uint8))
+             meta=np.frombuffer(json.dumps(rows_meta).encode(), np.uint8))
     print(f"wrote {codes.shape} tokens to {args.out}")
 
 

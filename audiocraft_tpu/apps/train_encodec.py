@@ -31,6 +31,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+    from ..utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
     import optax

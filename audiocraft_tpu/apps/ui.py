@@ -27,6 +27,8 @@ def predict(model, text: str, melody: tp.Optional[tuple] = None,
     the segment-stitch extension; results optionally land in a
     GenerationHistory."""
     import jax
+    from ..utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     from ..gen.extend import generate_music_segments, stitch_segments
     from ..io.wav import audio_write

@@ -8,6 +8,8 @@ plain dicts (see ckpt/).
 
 from __future__ import annotations
 
+import typing as tp
+
 import jax
 
 from .codec.encodec import EncodecModel
@@ -163,3 +165,19 @@ def get_jasco_model(compression_model=None, dim: int = 512, num_heads: int = 8,
         flow_dim=flow_dim, chords_dim=chords_dim, drums_dim=drums_dim,
         melody_dim=melody_dim)
     return model, provider, codec
+
+
+def get_wrapped_compression_model(compression_model: EncodecModel,
+                                  interleave_stereo: bool = False,
+                                  per_timestep: bool = False,
+                                  n_q: tp.Optional[int] = None):
+    """Optionally wrap the codec for stereo interleaving and/or override the
+    active codebook count (reference builders.py:338-351)."""
+    model: tp.Any = compression_model
+    if n_q is not None:
+        model = model.set_num_codebooks(n_q)
+    if interleave_stereo:
+        from .codec.stereo import InterleaveStereoCompressionModel
+        model = InterleaveStereoCompressionModel(model,
+                                                per_timestep=per_timestep)
+    return model

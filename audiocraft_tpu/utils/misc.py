@@ -116,3 +116,16 @@ def write_and_rename(path, suffix: str = '.tmp'):
     with open(tmp, 'wb') as f:
         yield f
     tmp.rename(path)
+
+
+def enable_compilation_cache(path: tp.Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache (saves the 30-120 s remote
+    TPU compiles across processes).  Call before the first jitted execution."""
+    import jax
+    path = path or os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                  os.path.expanduser('~/.cache/jax_comp_cache'))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', path)
+    except Exception as exc:  # pragma: no cover - older jax
+        logger.warning('could not enable compilation cache: %r', exc)

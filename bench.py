@@ -18,6 +18,8 @@ import numpy as np
 
 def bench_ours(batch, seconds, iters=16):
     import jax
+    from audiocraft_tpu.utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from audiocraft_tpu.builders import get_encodec_32khz
 
