@@ -53,6 +53,8 @@ def predict(model, text: str, melody: tp.Optional[tuple] = None,
         arr = np.asarray(data, np.float32)
         if arr.ndim == 1:
             arr = arr[None]
+        elif arr.shape[0] > arr.shape[1]:
+            arr = arr.T  # gradio numpy audio is [T, C]
         wav = model.generate_with_chroma([text], [arr], sr_m, key=key)
     else:
         model.duration = duration
