@@ -53,11 +53,13 @@ def bench_ours(batch, seconds, iters=16):
 
 
 def bench_reference(batch, seconds, iters=2):
-    """Reference torch EnCodec (same topology) on CPU."""
+    """Reference torch EnCodec (same topology) on CPU, fixed thread count for
+    a host-load-independent baseline."""
     sys.path.insert(0, "tests")
     import torch
     from oracle import ref_module
 
+    torch.set_num_threads(8)
     torch.manual_seed(0)
     ref_seanet = ref_module("audiocraft.modules.seanet")
     ref_vq = ref_module("audiocraft.quantization.vq")
