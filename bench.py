@@ -90,7 +90,7 @@ def main():
     try:
         # the torch-CPU reference is throughput-measured on a smaller batch to
         # keep bench wall-time bounded (CPU throughput is ~batch-insensitive)
-        ref = bench_reference(4, seconds, iters=1)
+        ref = bench_reference(2, seconds, iters=1)
         vs = ours / ref
     except Exception as e:
         print(f"reference bench failed: {e}", file=sys.stderr)
