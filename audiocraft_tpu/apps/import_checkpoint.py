@@ -3,24 +3,65 @@
     python -m audiocraft_tpu.apps.import_checkpoint compression \
         compression_state_dict.bin --out ckpt_codec [--config 32khz]
     python -m audiocraft_tpu.apps.import_checkpoint lm state_dict.bin \
-        --out ckpt_lm --size small [--melody]
+        --out ckpt_lm --size small [--melody] [--t5-state t5.bin]
 
 Reads the reference's exported checkpoint layout (utils/export.py:20-79:
 ``{'best_state': ..., 'xp.cfg': ...}`` or a raw state dict), maps weights
 through ckpt.torch_import, and writes a self-describing checkpoint directory
 (ckpt.io.save_checkpoint).  This is how the published MusicGen/EnCodec weights
 land on TPU once available.
+
+LM checkpoints save *both* the transformer weights and the trained conditioner
+parameters (``condition_provider.conditioners.<name>.output_proj`` etc. — the
+reference trains and ships these; dropping them would condition on noise).
+Any state-dict key no importer consumed is reported loudly.
+
+Untrusted checkpoints are loaded with ``torch.load(weights_only=True)``;
+arbitrary-pickle fallback requires an explicit ``--unsafe-pickle``.
 """
 
 from __future__ import annotations
 
 import argparse
+import sys
 
 
-def load_torch_state(path: str) -> dict:
-    """Load a torch checkpoint into {name: np.ndarray} without CUDA."""
+def load_torch_state(path: str, allow_unsafe: bool = False) -> dict:
+    """Load a torch checkpoint into {name: np.ndarray} without CUDA.
+
+    Tries the safe `weights_only=True` path first (plain state dicts and the
+    reference export layout), adding omegaconf containers to the safelist if
+    the export embedded its `xp.cfg`.  Arbitrary pickle execution is only
+    allowed with `allow_unsafe` (the CLI's --unsafe-pickle flag).
+    """
     import torch
-    pkg = torch.load(path, map_location='cpu', weights_only=False)
+
+    def _load_safe():
+        try:
+            return torch.load(path, map_location='cpu', weights_only=True)
+        except Exception:
+            # exports embed `xp.cfg` as an omegaconf container; safelist it
+            safe: list = []
+            try:
+                import omegaconf
+                safe = [omegaconf.DictConfig, omegaconf.ListConfig,
+                        omegaconf.base.ContainerMetadata, omegaconf.base.Metadata,
+                        omegaconf.nodes.ValueNode]
+            except ImportError:
+                pass
+            with torch.serialization.safe_globals(safe):
+                return torch.load(path, map_location='cpu', weights_only=True)
+
+    try:
+        pkg = _load_safe()
+    except Exception as exc:
+        if not allow_unsafe:
+            raise SystemExit(
+                f"safe torch.load failed ({exc!r}); this checkpoint requires "
+                "arbitrary pickle execution — rerun with --unsafe-pickle if "
+                "you trust its source") from exc
+        pkg = torch.load(path, map_location='cpu', weights_only=False)
+
     if isinstance(pkg, dict) and 'best_state' in pkg:
         state = pkg['best_state']
     elif isinstance(pkg, dict) and 'state_dict' in pkg:
@@ -39,28 +80,72 @@ def main(argv=None):
     parser.add_argument('--config', default='32khz',
                         choices=['32khz', '24khz', 'debug'])
     parser.add_argument('--size', default='small',
-                        choices=['small', 'medium', 'large'])
+                        choices=['small', 'medium', 'large', 'debug'])
     parser.add_argument('--melody', action='store_true')
+    parser.add_argument('--t5-state', default=None,
+                        help='optional torch T5 encoder state dict to bundle '
+                             '(published LM exports exclude the frozen T5)')
+    parser.add_argument('--unsafe-pickle', action='store_true',
+                        help='allow torch.load with weights_only=False '
+                             '(executes arbitrary pickle code)')
     args = parser.parse_args(argv)
 
-    from ..builders import (get_debug_compression_model, get_encodec_24khz,
-                            get_encodec_32khz, get_musicgen_lm)
-    from ..ckpt.io import save_checkpoint
-    from ..ckpt.torch_import import import_encodec, import_lm
+    import jax
 
-    sd = load_torch_state(args.checkpoint)
+    from ..builders import (get_debug_compression_model, get_debug_musicgen_lm,
+                            get_encodec_24khz, get_encodec_32khz,
+                            get_musicgen_lm)
+    from ..ckpt.io import save_checkpoint
+    from ..ckpt.torch_import import (HARMLESS_BUFFER_PATTERNS, KeyTracker,
+                                     import_conditioners, import_encodec,
+                                     import_lm, import_t5, merge_params)
+
+    sd = KeyTracker(load_torch_state(args.checkpoint,
+                                     allow_unsafe=args.unsafe_pickle))
 
     if args.kind == 'compression':
         model = {'32khz': get_encodec_32khz, '24khz': get_encodec_24khz,
                  'debug': get_debug_compression_model}[args.config]()
         params = import_encodec(model, sd)
+        to_save, save_params = model, params
     else:
-        model, _provider = get_musicgen_lm(args.size, melody=args.melody)
-        params = import_lm(model, sd)
+        if args.size == 'debug':
+            model, provider = get_debug_musicgen_lm()
+        else:
+            model, provider = get_musicgen_lm(args.size, melody=args.melody)
+        lm_params = import_lm(model, sd)
+        imported_cond = import_conditioners(provider, sd)
+        cond_params = provider.init(jax.random.PRNGKey(0))
+        for name, _ in provider.conditioners:
+            if name not in imported_cond:
+                print(f"WARNING: conditioner '{name}' has no trained "
+                      "parameters in this checkpoint; it stays random-init",
+                      file=sys.stderr)
+        cond_params = merge_params(cond_params, imported_cond)
+        if args.t5_state is not None:
+            from ..cond.conditioners import T5Conditioner
+            from ..nn.t5 import T5EncoderConfig
+            t5_sd = load_torch_state(args.t5_state,
+                                     allow_unsafe=args.unsafe_pickle)
+            for name, cond in provider.conditioners:
+                if isinstance(cond, T5Conditioner):
+                    cfg = T5EncoderConfig.for_name(cond.name)
+                    cond_params[name]['t5'] = import_t5(
+                        t5_sd, cfg.num_layers, gated=cfg.gated_act)
+        to_save = {'lm': model, 'condition_provider': provider}
+        save_params = {'lm': lm_params, 'condition_provider': cond_params}
 
-    path = save_checkpoint(args.out, model, params,
-                           extra={'source': args.checkpoint})
-    print(f"imported {len(sd)} tensors -> {path}")
+    leftover = sd.unused(ignore=HARMLESS_BUFFER_PATTERNS)
+    if leftover:
+        print(f"WARNING: {len(leftover)} state-dict keys were NOT imported:",
+              file=sys.stderr)
+        for key in leftover:
+            print(f"  - {key}", file=sys.stderr)
+
+    path = save_checkpoint(args.out, to_save, save_params,
+                           extra={'source': args.checkpoint,
+                                  'unmapped_keys': leftover})
+    print(f"imported {len(sd.used)}/{len(sd)} tensors -> {path}")
 
 
 if __name__ == '__main__':

@@ -84,6 +84,29 @@ _MUSICGEN_SIZES = {
 }
 
 
+def get_debug_musicgen_lm():
+    """Debug LM mirroring the reference test model (builders.py:309-335:
+    dim=16, 2 layers, card=400, whitespace-LUT conditioner) so reference
+    debug checkpoints import 1:1.  Returns (lm, provider)."""
+    from .cond.conditioners import ConditioningProvider, LUTConditioner
+    from .cond.fuser import ConditionFuser
+    from .lm.model import LMModel
+    from .patterns import DelayedPatternProvider
+
+    provider = ConditioningProvider.from_dict({
+        'description': LUTConditioner(n_bins=128, dim=16, output_dim=16,
+                                      tokenizer='whitespace'),
+    })
+    fuser = ConditionFuser.from_dict({'cross': ('description',)})
+    lm = LMModel(pattern_provider=DelayedPatternProvider(4), fuser=fuser,
+                 n_q=4, card=400, dim=16, num_heads=4, num_layers=2,
+                 cross_attention=True, causal=True,
+                 # torch nn.TransformerEncoderLayer defaults the reference
+                 # debug model inherits
+                 norm_first=False, activation='relu')
+    return lm, provider
+
+
 def get_musicgen_lm(size: str = 'small', melody: bool = False,
                     n_q: int = 4, card: int = 2048):
     """MusicGen LM config for the published model sizes (reference

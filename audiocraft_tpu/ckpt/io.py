@@ -34,6 +34,7 @@ def _registry():
     if not _REGISTRY:
         from ..codec.encodec import EncodecModel
         from ..codec.stereo import InterleaveStereoCompressionModel
+        from ..codec.wrappers import HFEncodecCompressionModel
         from ..cond.chroma_cond import ChromaConditioner
         from ..cond.conditioners import (ConditioningProvider, LUTConditioner,
                                          T5Conditioner)
@@ -48,6 +49,7 @@ def _registry():
         from ..quant.base import DummyQuantizer
         from ..quant.vq import ResidualVectorQuantizer
         _register(EncodecModel, InterleaveStereoCompressionModel,
+                  HFEncodecCompressionModel,
                   SEANetEncoder, SEANetDecoder, ResidualVectorQuantizer,
                   DummyQuantizer, LMModel, ConditionFuser, LUTConditioner,
                   T5Conditioner, ChromaConditioner, ConditioningProvider,

@@ -29,6 +29,77 @@ Array = np.ndarray
 StateDict = tp.Dict[str, Array]
 
 
+class KeyTracker:
+    """Wrap a flat state dict, recording which keys the importers read.
+
+    Published checkpoints carry more than the obvious weights (conditioner
+    projections, buffers); silently dropping keys during import means a model
+    that *runs* but generates garbage.  Importers accept this wrapper
+    transparently; afterwards :meth:`unused` reports every key no importer
+    consumed so the caller can warn (or fail) loudly.
+    """
+
+    def __init__(self, sd: tp.Mapping[str, Array]):
+        self._sd = dict(sd)
+        self.used: tp.Set[str] = set()
+
+    def __getitem__(self, key: str) -> Array:
+        self.used.add(key)
+        return self._sd[key]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self) -> int:
+        return len(self._sd)
+
+    def keys(self):
+        return self._sd.keys()
+
+    def items(self):
+        return self._sd.items()
+
+    def unused(self, ignore: tp.Sequence[str] = ()) -> tp.List[str]:
+        """Keys never read by an importer, minus regex patterns in `ignore`."""
+        import re
+        leftover = []
+        for key in self._sd:
+            if key in self.used:
+                continue
+            if any(re.search(pat, key) for pat in ignore):
+                continue
+            leftover.append(key)
+        return sorted(leftover)
+
+
+#: Non-parameter buffers a reference LM state dict may carry that have no
+#: place in our param tree (the chroma STFT window is recomputed, the stem
+#: indices are static config).
+HARMLESS_BUFFER_PATTERNS = (
+    r"\.chroma\.spec\.",          # torchaudio Spectrogram window buffer
+    r"\.stem_indices$",           # ChromaStemConditioner demucs stem selector
+    r"num_batches_tracked$",      # BatchNorm bookkeeping
+)
+
+
+def merge_params(base: tp.Any, override: tp.Any) -> tp.Any:
+    """Deep-merge a (possibly partial) imported param tree over an init tree.
+
+    Leaves present in `override` win; subtrees missing from it keep the
+    freshly initialized values (e.g. T5 internals, which published Audiocraft
+    checkpoints deliberately exclude and which arrive via `import_t5`).
+    """
+    if isinstance(base, dict) and isinstance(override, dict):
+        merged = dict(base)
+        for key, value in override.items():
+            merged[key] = merge_params(base[key], value) if key in base else value
+        return merged
+    return override
+
+
 def _norm_keepdims(v: Array) -> Array:
     axes = tuple(range(1, v.ndim))
     return np.sqrt(np.sum(np.square(v), axis=axes, keepdims=True))
@@ -221,6 +292,38 @@ def import_lm(model, sd: StateDict) -> dict:
     if "out_norm.weight" in sd:
         params["out_norm"] = _linear(sd, "out_norm")
     return params
+
+
+def import_conditioners(provider, sd: StateDict,
+                        prefix: str = "condition_provider.conditioners"
+                        ) -> tp.Dict[str, dict]:
+    """Import the trained conditioner parameters inside a reference LM
+    state dict.
+
+    The reference LMModel registers its ConditioningProvider as a submodule,
+    so published MusicGen checkpoints carry
+    ``condition_provider.conditioners.<name>.output_proj.{weight,bias}``
+    (the trained dim->model-dim projection; the frozen T5 and demucs networks
+    are hidden from the state dict via the reference's ``__dict__`` trick,
+    /root/reference/audiocraft/modules/conditioners.py:478,606).  LUT
+    conditioners additionally carry ``embed.weight``.
+
+    `provider` is our ConditioningProvider config.  Returns a partial param
+    tree ``{name: params}`` to `merge_params` over ``provider.init(...)``.
+    Dropping these weights would leave conditioning randomly projected — the
+    model would run but condition on noise.
+    """
+    out: tp.Dict[str, dict] = {}
+    for name, _cond in provider.conditioners:
+        base = f"{prefix}.{name}"
+        params: dict = {}
+        if f"{base}.output_proj.weight" in sd:
+            params["output_proj"] = _linear(sd, f"{base}.output_proj")
+        if f"{base}.embed.weight" in sd:   # LUTConditioner lookup table
+            params["embed"] = np.asarray(sd[f"{base}.embed.weight"])
+        if params:
+            out[name] = params
+    return out
 
 
 def import_t5(sd: StateDict, num_layers: int, gated: bool = False,

@@ -294,7 +294,13 @@ class MusicGen:
                              * self.frame_rate)
 
         if prompt_tokens is not None and prompt_tokens.shape[-1] > max_prompt_len:
-            prompt_tokens = prompt_tokens[..., :max_prompt_len]
+            # reference genmodel.py:129-133 asserts instead; raising keeps the
+            # contract visible (silently continuing from mid-prompt audio
+            # would be wrong)
+            raise ValueError(
+                f"Prompt is longer than audio to generate: prompt covers "
+                f"{prompt_tokens.shape[-1]} frames but only {max_prompt_len} "
+                f"frames fit the requested duration")
 
         def report(done: float):
             if progress:
