@@ -44,20 +44,13 @@ class GenerationHistory:
             dest_img = dest_audio.with_suffix(Path(image_path).suffix)
             shutil.copy(image_path, dest_img)
             entry["image"] = dest_img.name
-        # append atomically: write + rename of the whole file under a lockfile
-        lock = self.jsonl.with_suffix(".lock")
-        for _ in range(100):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                time.sleep(0.05)
-        try:
+        # append under a real blocking file lock (reference
+        # user_history.py:351 uses filelock the same way — no silent
+        # lock-skip on contention)
+        from filelock import FileLock
+        with FileLock(str(self.jsonl.with_suffix(".lock"))):
             with open(self.jsonl, "a") as fp:
                 fp.write(json.dumps(entry) + "\n")
-        finally:
-            lock.unlink(missing_ok=True)
         return entry
 
     def list(self) -> tp.List[dict]:

@@ -1,20 +1,35 @@
-"""Minimal REST generation server — the headless counterpart of the fork's
-Gradio `predict_simple` API (/root/reference/app.py:244-675), stdlib-only.
+"""REST generation server — headless counterpart of the fork's Gradio
+`predict`/`predict_simple` API (/root/reference/app.py:244-675), stdlib-only.
 
-    python -m audiocraft_tpu.apps.serve [--port 8000] [--seed 0]
+    python -m audiocraft_tpu.apps.serve [--port 8000] [--model debug]
+        [--cache-dir DIR]
 
-POST /generate  {"text": "...", "duration": 5, "seed": 42, "top_k": 250}
-    -> audio/wav bytes
-GET /health     -> {"status": "ok", "model": "<name>"}
+GET  /health    -> {"status": "ok", "model": "<name>"}
+GET  /models    -> {"models": [...], "current": "<name>"}
+POST /generate  -> audio/wav bytes, or a history-JSON document
+
+POST body (all optional except "text"):
+    {"text": "...", "model": "debug", "duration": 5, "seed": -1,
+     "topk": 250, "topp": 0.0, "temperature": 1.0, "cfg_coef": 3.0,
+     "melody_wav": "<base64 WAV>",     # melody conditioning
+     "prompt_wav": "<base64 WAV>",     # continuation from this audio
+     "title": "...",                    # embedded in history metadata
+     "return_history_json": false}
+
+Mirrors the reference `predict_simple` parameter surface (app.py:593-675):
+model choice, sampling params, seed (-1 = random), melody/continuation, and
+the `return_history_json` response mode ({audio_b64, seed, metadata}).
 """
 
 from __future__ import annotations
 
 import argparse
-import io
+import base64
 import json
 import struct
+import tempfile
 import threading
+import typing as tp
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -31,11 +46,100 @@ def _wav_bytes(wav, sample_rate: int) -> bytes:
     return header + data
 
 
-def make_handler(model, lock: threading.Lock):
-    import jax
+def _decode_wav_b64(b64: str):
+    """base64 WAV -> (np.ndarray [C, T] float32, sample_rate)."""
+    from ..io.wav import wav_read
+    raw = base64.b64decode(b64)
+    with tempfile.NamedTemporaryFile(suffix='.wav') as tmp:
+        tmp.write(raw)
+        tmp.flush()
+        return wav_read(tmp.name)
+
+
+class GenerationService:
+    """Model cache + request execution, separately testable from HTTP."""
+
+    def __init__(self, default_model: str = 'debug',
+                 cache_dir: tp.Optional[str] = None):
+        self.default_model = default_model
+        self.cache_dir = cache_dir
+        self.lock = threading.Lock()
+        self.current_name = default_model
+
+    def models(self) -> tp.List[str]:
+        from ..ckpt.loaders import list_local_models
+        return list_local_models(self.cache_dir)
+
+    def _get_model(self, name: tp.Optional[str]):
+        from ..ckpt.loaders import load_model
+        name = name or self.current_name
+        model = load_model(name, self.cache_dir)
+        self.current_name = name
+        return model
+
+    def generate(self, req: dict) -> dict:
+        """Validated request dict -> {"wav": np[C,T], "sample_rate", "seed",
+        "metadata"}.  Raises ValueError on bad input."""
+        import jax
+        import numpy as np
+
+        text = req.get('text', '')
+        if not text:
+            raise ValueError('missing "text"')
+        duration = float(req.get('duration', 5.0))
+        if not 0 < duration <= 720:
+            raise ValueError('duration must be in (0, 720]')
+        seed = int(req.get('seed', -1))
+        if seed < 0:
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+        topk = int(req.get('topk', req.get('top_k', 250)))
+        topp = float(req.get('topp', req.get('top_p', 0.0)))
+        temperature = float(req.get('temperature', 1.0))
+        cfg_coef = float(req.get('cfg_coef', 3.0))
+
+        melody = req.get('melody_wav')
+        prompt = req.get('prompt_wav')
+
+        with self.lock:  # one generation at a time per device
+            model = self._get_model(req.get('model'))
+            model.set_generation_params(
+                duration=duration, top_k=topk, top_p=topp,
+                temperature=temperature, cfg_coef=cfg_coef,
+                extend_stride=min(10.0, model.max_duration / 2))
+            key = jax.random.PRNGKey(seed)
+            if prompt is not None:
+                p_wav, p_sr = _decode_wav_b64(prompt)
+                m_wavs, m_sr = None, None
+                if melody is not None:
+                    m_wav, m_sr = _decode_wav_b64(melody)
+                    m_wavs = [m_wav]
+                wav = model.generate_continuation(
+                    p_wav[None], p_sr, [text], melody_wavs=m_wavs,
+                    melody_sample_rate=m_sr, key=key)
+            elif melody is not None:
+                m_wav, m_sr = _decode_wav_b64(melody)
+                wav = model.generate_with_chroma([text], [m_wav], m_sr,
+                                                 key=key)
+            else:
+                wav = model.generate([text], key=key)
+            sample_rate = model.sample_rate
+            name = model.name
+
+        metadata = {
+            'prompt': text, 'model': name, 'Seed': seed,
+            'duration': duration, 'topk': topk, 'topp': topp,
+            'temperature': temperature, 'cfg_coef': cfg_coef,
+            'title': req.get('title', ''),
+            'melody_condition': melody is not None,
+            'continuation': prompt is not None,
+        }
+        return {'wav': np.asarray(wav[0]), 'sample_rate': sample_rate,
+                'seed': seed, 'metadata': metadata}
+
+
+def make_handler(service: GenerationService):
     from ..utils.misc import enable_compilation_cache
     enable_compilation_cache()
-    import numpy as np
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
@@ -51,7 +155,11 @@ def make_handler(model, lock: threading.Lock):
 
         def do_GET(self):
             if self.path == '/health':
-                self._json(200, {'status': 'ok', 'model': model.name})
+                self._json(200, {'status': 'ok',
+                                 'model': service.current_name})
+            elif self.path == '/models':
+                self._json(200, {'models': service.models(),
+                                 'current': service.current_name})
             else:
                 self._json(404, {'error': 'not found'})
 
@@ -62,27 +170,50 @@ def make_handler(model, lock: threading.Lock):
             try:
                 length = int(self.headers.get('Content-Length', 0))
                 req = json.loads(self.rfile.read(length) or b'{}')
-                text = req.get('text', '')
-                duration = float(req.get('duration', 5.0))
-                seed = int(req.get('seed', 0))
-                top_k = int(req.get('top_k', 250))
+                result = service.generate(req)
             except (ValueError, json.JSONDecodeError) as exc:
-                self._json(400, {'error': f'bad request: {exc}'})
+                self._json(400, {'error': str(exc)})
                 return
-            if not text:
-                self._json(400, {'error': 'missing "text"'})
+            except FileNotFoundError as exc:
+                self._json(404, {'error': str(exc)})
                 return
-            if duration <= 0 or duration > 720:
-                self._json(400, {'error': 'duration must be in (0, 720]'})
+            body = _wav_bytes(result['wav'], result['sample_rate'])
+            if req.get('return_video'):
+                # animated-waveform MP4 with embedded metadata (reference
+                # make_waveform + mutagen path, modules/gradio.py:35-273)
+                try:
+                    from ..io.titlecard import settings_text
+                    from ..io.video import make_waveform_video
+                    with tempfile.NamedTemporaryFile(suffix='.mp4') as tmp:
+                        make_waveform_video(
+                            tmp.name, result['wav'], result['sample_rate'],
+                            metadata={'title': req.get('title', ''),
+                                      'comment': settings_text(
+                                          result['metadata'])},
+                            title=req.get('title', ''),
+                            settings=settings_text(result['metadata']),
+                            background=req.get('background'))
+                        video = open(tmp.name, 'rb').read()
+                except Exception as exc:
+                    self._json(500, {'error': f'video mux failed: {exc}'})
+                    return
+                self.send_response(200)
+                self.send_header('Content-Type', 'video/mp4')
+                self.send_header('X-Seed', str(result['seed']))
+                self.send_header('Content-Length', str(len(video)))
+                self.end_headers()
+                self.wfile.write(video)
                 return
-            with lock:  # one generation at a time per device
-                model.set_generation_params(
-                    duration=min(duration, model.max_duration), top_k=top_k)
-                model.duration = duration
-                wav = model.generate([text], key=jax.random.PRNGKey(seed))
-            body = _wav_bytes(np.asarray(wav[0]), model.sample_rate)
+            if req.get('return_history_json'):
+                self._json(200, {
+                    'audio_b64': base64.b64encode(body).decode(),
+                    'seed': result['seed'],
+                    'metadata': result['metadata'],
+                })
+                return
             self.send_response(200)
             self.send_header('Content-Type', 'audio/wav')
+            self.send_header('X-Seed', str(result['seed']))
             self.send_header('Content-Length', str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -94,16 +225,16 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('--port', type=int, default=8000)
     parser.add_argument('--host', default='127.0.0.1')
-    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--model', default='debug')
+    parser.add_argument('--cache-dir', default=None)
     args = parser.parse_args(argv)
 
-    import jax
-    from ..gen.musicgen import get_debug_musicgen
-    model = get_debug_musicgen(jax.random.PRNGKey(args.seed))
-
+    service = GenerationService(args.model, args.cache_dir)
+    service._get_model(args.model)  # fail fast + warm the cache
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(model, threading.Lock()))
-    print(f"serving on http://{args.host}:{args.port} (model: {model.name})")
+                                 make_handler(service))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(model: {service.current_name})")
     server.serve_forever()
 
 

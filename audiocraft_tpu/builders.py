@@ -18,10 +18,15 @@ from .quant.vq import ResidualVectorQuantizer
 
 
 def get_encodec_32khz(n_filters: int = 64, dimension: int = 128,
-                      n_q: int = 4, bins: int = 2048,
-                      causal: bool = False) -> EncodecModel:
+                      n_q: int = 4, bins: int = 2048, causal: bool = False,
+                      compute_dtype: tp.Optional[str] = 'bfloat16'
+                      ) -> EncodecModel:
     """The MusicGen tokenizer config: 32 kHz mono, hop 640, 50 Hz frame rate
-    (reference loaders.py:104-117 fallback config; facebook/encodec_32khz)."""
+    (reference loaders.py:104-117 fallback config; facebook/encodec_32khz).
+
+    The production default encodes in bf16 (the TPU throughput path); pass
+    ``compute_dtype=None`` for the fp32 parity/conformance dtype.
+    """
     ratios = (8, 5, 4, 4)
     seanet = dict(channels=1, dimension=dimension, n_filters=n_filters,
                   n_residual_layers=1, ratios=ratios, norm='weight_norm',
@@ -30,7 +35,8 @@ def get_encodec_32khz(n_filters: int = 64, dimension: int = 128,
     decoder = SEANetDecoder(**seanet)
     quantizer = ResidualVectorQuantizer(dimension=dimension, n_q=n_q, bins=bins)
     return EncodecModel(encoder, decoder, quantizer, frame_rate=50,
-                        sample_rate=32000, channels=1, causal=causal)
+                        sample_rate=32000, channels=1, causal=causal,
+                        compute_dtype=compute_dtype)
 
 
 def get_encodec_24khz(n_filters: int = 32, dimension: int = 128,

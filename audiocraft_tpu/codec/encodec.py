@@ -43,6 +43,10 @@ class EncodecModel:
     channels: int = 1
     causal: bool = False
     renormalize: bool = False
+    # default encode compute dtype ('bfloat16' for the production throughput
+    # path; None = fp32, the parity/conformance dtype).  encode() arguments
+    # override per call.
+    compute_dtype: tp.Optional[str] = None
 
     def __post_init__(self):
         if self.causal:
@@ -96,15 +100,27 @@ class EncodecModel:
 
     # -- core ---------------------------------------------------------------
     def encode(self, params: dict, x: jax.Array,
-               compute_dtype: tp.Optional[tp.Any] = None
+               compute_dtype: tp.Optional[tp.Any] = None,
+               fused: tp.Optional[bool] = None
                ) -> tp.Tuple[jax.Array, tp.Optional[jax.Array]]:
         """x: [B, C, T] float -> (codes [B, K, T_frames] int32, scale).
 
         ``compute_dtype=jnp.bfloat16`` runs the SEANet encoder in bf16 (the
         MXU-native dtype, ~2-3x faster); the RVQ distance search always stays
-        fp32, which is what token identity is sensitive to.
+        fp32, which is what token identity is sensitive to.  When no dtype is
+        passed, the model's ``compute_dtype`` field applies ('float32' parity
+        default; builders set 'bfloat16' for production configs).
+
+        ``fused`` routes the encoder front-end through the fused Pallas
+        stage kernel (token-exact vs the XLA path on TPU).  Default off: on
+        v5e the measured XLA conv path is currently faster (PERF.md) — the
+        kernel is kept for larger-batch/multi-stage experiments.
         """
         assert x.ndim == 3
+        if compute_dtype is None and self.compute_dtype is not None:
+            compute_dtype = jnp.dtype(self.compute_dtype)
+        if fused is None:
+            fused = False
         x, scale = self.preprocess(x)
         enc_params = params['encoder']
         if compute_dtype is not None:
@@ -113,7 +129,8 @@ class EncodecModel:
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
             enc_params = cast(enc_params)
             x = x.astype(compute_dtype)
-        emb = self.encoder(enc_params, x).astype(jnp.float32)
+        emb = self.encoder(enc_params, x,
+                           fused_stages=2 if fused else 0).astype(jnp.float32)
         codes = self.quantizer.encode(_q_state(self.quantizer, params['quantizer']), emb)
         return codes, scale
 

@@ -169,9 +169,25 @@ class SEANetEncoder:
                 params[f'layer{i}'] = mod.init(keys[i])
         return params
 
-    def __call__(self, params: dict, x: jax.Array) -> jax.Array:
+    def __call__(self, params: dict, x: jax.Array, *,
+                 fused_stages: int = 0, interpret: bool = False) -> jax.Array:
+        """Forward [B, C, T] -> [B, dimension, T/hop].
+
+        ``fused_stages > 0`` routes the first N downsampling stages through
+        the fused Pallas kernel (ops/seanet_pallas.py) when the topology and
+        shapes are eligible, falling back to the XLA stack otherwise.
+        """
         act = _act(self.activation, {'alpha': self.activation_alpha})
+        start = 0
+        if fused_stages:
+            from ..ops.seanet_pallas import fused_encoder_apply
+            fused = fused_encoder_apply(self, params, x, fused_stages,
+                                        interpret=interpret)
+            if fused is not None:
+                x, start = fused
         for i, (kind, mod) in enumerate(self._layers()):
+            if i < start:
+                continue
             if kind == 'act':
                 x = act(x)
             else:

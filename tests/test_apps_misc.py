@@ -11,13 +11,14 @@ import jax
 
 
 def test_serve_health_and_generate(tmp_path):
+    import base64
+    import numpy as np
     from http.server import ThreadingHTTPServer
-    from audiocraft_tpu.apps.serve import make_handler
-    from audiocraft_tpu.gen.musicgen import get_debug_musicgen
+    from audiocraft_tpu.apps.serve import (GenerationService, _wav_bytes,
+                                           make_handler)
 
-    model = get_debug_musicgen(jax.random.PRNGKey(0))
-    server = ThreadingHTTPServer(('127.0.0.1', 0),
-                                 make_handler(model, threading.Lock()))
+    service = GenerationService('debug', cache_dir=str(tmp_path))
+    server = ThreadingHTTPServer(('127.0.0.1', 0), make_handler(service))
     port = server.server_address[1]
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -26,36 +27,63 @@ def test_serve_health_and_generate(tmp_path):
                 f'http://127.0.0.1:{port}/health', timeout=30) as r:
             assert json.loads(r.read())['status'] == 'ok'
 
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/models', timeout=30) as r:
+            models = json.loads(r.read())
+            assert models['models'] == ['debug']
+            assert models['current'] == 'debug'
+
         req = urllib.request.Request(
             f'http://127.0.0.1:{port}/generate',
-            data=json.dumps({'text': 'beep', 'duration': 1.0}).encode(),
+            data=json.dumps({'text': 'beep', 'duration': 1.0,
+                             'seed': 7}).encode(),
             headers={'Content-Type': 'application/json'})
         with urllib.request.urlopen(req, timeout=300) as r:
             body = r.read()
             assert r.headers['Content-Type'] == 'audio/wav'
+            assert r.headers['X-Seed'] == '7'
             assert body[:4] == b'RIFF'
             assert len(body) > 44
 
-        # probe: bad requests get clean errors
-        bad = urllib.request.Request(
+        # continuation + history-json mode: feed the previous output back
+        req2 = urllib.request.Request(
             f'http://127.0.0.1:{port}/generate',
-            data=json.dumps({'duration': 1.0}).encode())
-        try:
-            urllib.request.urlopen(bad, timeout=30)
-            assert False, "should have errored"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+            data=json.dumps({
+                'text': 'continue it', 'duration': 1.5, 'seed': 8,
+                'prompt_wav': base64.b64encode(body).decode(),
+                'return_history_json': True,
+            }).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req2, timeout=300) as r:
+            doc = json.loads(r.read())
+            assert doc['seed'] == 8
+            assert doc['metadata']['continuation'] is True
+            assert base64.b64decode(doc['audio_b64'])[:4] == b'RIFF'
 
-        bad2 = urllib.request.Request(
+        # probe: bad requests get clean errors
+        for bad_body in ({'duration': 1.0}, {'text': 'x', 'duration': -3}):
+            bad = urllib.request.Request(
+                f'http://127.0.0.1:{port}/generate',
+                data=json.dumps(bad_body).encode())
+            try:
+                urllib.request.urlopen(bad, timeout=30)
+                assert False, "should have errored"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+
+        # unknown model -> 404
+        bad3 = urllib.request.Request(
             f'http://127.0.0.1:{port}/generate',
-            data=json.dumps({'text': 'x', 'duration': -3}).encode())
+            data=json.dumps({'text': 'x', 'model': 'melody-large'}).encode())
         try:
-            urllib.request.urlopen(bad2, timeout=30)
+            urllib.request.urlopen(bad3, timeout=30)
             assert False
         except urllib.error.HTTPError as e:
-            assert e.code == 400
+            assert e.code == 404
     finally:
         server.shutdown()
+        from audiocraft_tpu.ckpt.loaders import clear_model_cache
+        clear_model_cache()
 
 
 def test_spectrogram(tmp_path):
@@ -147,3 +175,25 @@ def test_ui_build_requires_gradio():
         pass
     with pytest.raises(RuntimeError, match="gradio is not installed"):
         build_ui(model=None)
+
+
+def test_titlecard_render(tmp_path):
+    from audiocraft_tpu.io.titlecard import (parse_color, render_title_card,
+                                             settings_text)
+    assert parse_color('#ff0000') == (255, 0, 0, 255)
+    assert parse_color('#00ff0080') == (0, 255, 0, 128)
+    assert parse_color('rgb(1, 2, 3)') == (1, 2, 3, 255)
+    assert parse_color('rgba(1, 2, 3, 0.5)') == (1, 2, 3, 128)
+    assert parse_color((10, 20, 30)) == (10, 20, 30, 255)
+    assert parse_color('garbage!!') == (255, 255, 0, 255)
+
+    img = render_title_card(title="A Long Generated Song Title That Wraps",
+                            description="model: small | seed: 42",
+                            width=320, height=200, font_color='#c87f05')
+    assert img.size == (320, 200)
+    arr = np.asarray(img.convert('RGB'))
+    assert (arr != arr[0, 0]).any()  # text actually drawn
+
+    text = settings_text({'prompt': 'p', 'Seed': 7, 'topk': 250, 'x': 'y'})
+    assert text.startswith('prompt: p')
+    assert 'Seed: 7' in text and 'x: y' in text

@@ -104,3 +104,35 @@ def test_flow_matching_generate():
                               cfg_weights=(1.5, -0.5), num_samples=B,
                               max_gen_len=T, euler_steps=2, method='heun')
     assert latents2.shape == (B, T, 16)
+
+
+def test_dopri5_agrees_with_fine_euler():
+    """Adaptive dopri5 vs 400-step Euler on the debug flow model
+    (reference flow_matching.py:478-514 odeint path)."""
+    fuser = ConditionFuser.from_dict({'cross': ('description',)})
+    model = FlowMatchingModel(fuser=fuser, dim=32, num_heads=4, num_layers=4,
+                              flow_dim=16, chords_dim=8, hidden_scale=2,
+                              time_embedding_dim=16)
+    params = model.init(jax.random.PRNGKey(0))
+    B, T = 1, 20
+    cond = {
+        'description': (jnp.zeros((2 * B, 4, 32)), jnp.ones((2 * B, 4), jnp.int32)),
+        'chords': (jax.random.normal(jax.random.PRNGKey(1), (2 * B, T, 8)),
+                   jnp.ones((2 * B, T), jnp.int32)),
+    }
+    kw = dict(cfg_weights=(1.5, -0.5), num_samples=B, max_gen_len=T)
+    fine = model.generate(params, jax.random.PRNGKey(2), cond,
+                          euler_steps=400, **kw)
+    adaptive = model.generate(params, jax.random.PRNGKey(2), cond,
+                              method='dopri5', ode_atol=1e-5, ode_rtol=1e-5,
+                              **kw)
+    assert adaptive.shape == fine.shape
+    scale = np.abs(np.asarray(fine)).max()
+    diff = np.abs(np.asarray(adaptive) - np.asarray(fine)).max()
+    assert diff / scale < 5e-3, (diff, scale)
+    # and it must jit (one compiled program, fixed shapes)
+    jitted = jax.jit(lambda k: model.generate(params, k, cond,
+                                              method='dopri5', **kw))
+    out = jitted(jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(adaptive),
+                               atol=1e-5)
