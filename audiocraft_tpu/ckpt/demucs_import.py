@@ -1,0 +1,129 @@
+"""Torch htdemucs state-dict -> JAX HTDemucs param-tree importer.
+
+Maps the `demucs` package's HTDemucs module naming (encoder/tencoder/
+decoder/tdecoder stacks with DConv sequential indices, crosstransformer
+layers/layers_t, channel up/downsamplers, freq_emb) onto
+``audiocraft_tpu.nn.demucs``.
+
+The demucs package and its published weights are unavailable in this
+environment, so this mapping is reconstructed from the HTDemucs architecture
+(ICASSP 2023) and cannot be numerically cross-checked here; it is therefore
+defensive: every consumed key is tracked and `import_htdemucs` returns the
+list of unmapped keys so a first run against real weights reports exactly
+what (if anything) needs adjusting instead of silently dropping tensors.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+from .torch_import import KeyTracker, StateDict
+
+
+def _arr(sd, key):
+    return np.asarray(sd[key])
+
+
+def _conv(sd: StateDict, prefix: str) -> dict:
+    p = {'weight': _arr(sd, f'{prefix}.weight')}
+    if f'{prefix}.bias' in sd:
+        p['bias'] = _arr(sd, f'{prefix}.bias')
+    return p
+
+
+def _norm(sd: StateDict, prefix: str) -> dict:
+    return {'weight': _arr(sd, f'{prefix}.weight'),
+            'bias': _arr(sd, f'{prefix}.bias')}
+
+
+def _dconv(sd: StateDict, prefix: str, depth: int = 2) -> dict:
+    """DConv residual branch: per block a Sequential
+    [0 conv k3, 1 GroupNorm, 2 GELU, 3 conv 1x1, 4 GroupNorm, 5 GLU,
+    6 LayerScale]."""
+    out = {}
+    for j in range(depth):
+        base = f'{prefix}.layers.{j}'
+        out[f'block{j}'] = {
+            'conv1': _conv(sd, f'{base}.0'),
+            'norm1': _norm(sd, f'{base}.1'),
+            'conv2': _conv(sd, f'{base}.3'),
+            'norm2': _norm(sd, f'{base}.4'),
+            'scale': _arr(sd, f'{base}.6.scale'),
+        }
+    return out
+
+
+def _enc_layer(sd: StateDict, prefix: str) -> dict:
+    p = {'conv': _conv(sd, f'{prefix}.conv'),
+         'rewrite': _conv(sd, f'{prefix}.rewrite'),
+         'dconv': _dconv(sd, f'{prefix}.dconv')}
+    for tname, ours in (('norm1', 'norm1'), ('norm2', 'norm2')):
+        if f'{prefix}.{tname}.weight' in sd:
+            p[ours] = _norm(sd, f'{prefix}.{tname}')
+    return p
+
+
+def _dec_layer(sd: StateDict, prefix: str) -> dict:
+    return {'rewrite': _conv(sd, f'{prefix}.rewrite'),
+            'convtr': _conv(sd, f'{prefix}.conv_tr'),
+            'dconv': _dconv(sd, f'{prefix}.dconv')}
+
+
+def _attn_from_inproj(sd: StateDict, prefix: str, attn: str) -> dict:
+    """nn.MultiheadAttention in_proj -> separate q/k/v linears."""
+    w = _arr(sd, f'{prefix}.{attn}.in_proj_weight')
+    b = _arr(sd, f'{prefix}.{attn}.in_proj_bias')
+    d = w.shape[0] // 3
+    out = {}
+    for i, name in enumerate(('q', 'k', 'v')):
+        out[name] = {'weight': w[i * d:(i + 1) * d], 'bias': b[i * d:(i + 1) * d]}
+    out['o'] = _conv(sd, f'{prefix}.{attn}.out_proj')
+    return out
+
+
+def _tf_layer(sd: StateDict, prefix: str, cross: bool) -> dict:
+    attn = 'cross_attn' if cross else 'self_attn'
+    p = {
+        **_attn_from_inproj(sd, prefix, attn),
+        'norm1': _norm(sd, f'{prefix}.norm1'),
+        'norm2': _norm(sd, f'{prefix}.norm2'),
+        'lin1': _conv(sd, f'{prefix}.linear1'),
+        'lin2': _conv(sd, f'{prefix}.linear2'),
+        'scale1': _arr(sd, f'{prefix}.gamma_1.scale'),
+        'scale2': _arr(sd, f'{prefix}.gamma_2.scale'),
+    }
+    if cross and f'{prefix}.norm3.weight' in sd:
+        # cross layers norm the kv source (norm3 in demucs' naming)
+        p['norm_kv'] = _norm(sd, f'{prefix}.norm3')
+    return p
+
+
+def import_htdemucs(model, sd_in: tp.Mapping[str, np.ndarray]
+                    ) -> tp.Tuple[dict, tp.List[str]]:
+    """model: nn.demucs.HTDemucs.  Returns (params, unmapped_keys)."""
+    sd = KeyTracker(sd_in)
+    cfg = model.cfg
+    params: dict = {'encoder': {}, 'tencoder': {}, 'decoder': {},
+                    'tdecoder': {}}
+    for i in range(cfg.depth):
+        params['encoder'][f'layer{i}'] = _enc_layer(sd, f'encoder.{i}')
+        params['tencoder'][f'layer{i}'] = _enc_layer(sd, f'tencoder.{i}')
+        params['decoder'][f'layer{i}'] = _dec_layer(sd, f'decoder.{i}')
+        params['tdecoder'][f'layer{i}'] = _dec_layer(sd, f'tdecoder.{i}')
+
+    tf: dict = {'norm_in_s': _norm(sd, 'crosstransformer.norm_in'),
+                'norm_in_t': _norm(sd, 'crosstransformer.norm_in_t')}
+    for i in range(cfg.t_depth):
+        cross = i % 2 == 1
+        tf[f'spec{i}'] = _tf_layer(sd, f'crosstransformer.layers.{i}', cross)
+        tf[f'time{i}'] = _tf_layer(sd, f'crosstransformer.layers_t.{i}', cross)
+    params['crosstransformer'] = tf
+
+    params['freq_emb'] = _arr(sd, 'freq_emb.embedding.weight')
+    for name in ('channel_upsampler', 'channel_downsampler',
+                 'channel_upsampler_t', 'channel_downsampler_t'):
+        if f'{name}.weight' in sd:
+            params[name] = _conv(sd, name)
+    return params, sd.unused()

@@ -124,6 +124,31 @@ def conv_transpose1d(x: jax.Array, weight: jax.Array,
     return y
 
 
+
+def conv1d_im2col_mono(x: jax.Array, weight: jax.Array,
+                       bias: tp.Optional[jax.Array]) -> jax.Array:
+    """Stride-1 mono conv as an im2col matmul (pre-padded input).
+
+    x: [B, 1, T+k-1], weight [C_out, 1, K] -> [B, C_out, T].  Numerically a
+    reassociation of the conv sum (fp32 accumulation).
+
+    Standalone this beats XLA's C_in=1 NCW conv at batch 32 (8.3 ms vs
+    14.7 ms, scripts/perf_conv0.py, bit-identical outputs), but wired into
+    the full encode graph it regressed at batch >= 64 and OOM'd batch 128
+    (the [B, K, T] im2col materialization breaks XLA's fusion/memory plan),
+    so the encoder keeps the plain conv; kept for kernel experiments.
+    """
+    k = weight.shape[-1]
+    T = x.shape[-1] - (k - 1)
+    flat = x[:, 0, :]
+    cols = jnp.stack([flat[:, i:i + T] for i in range(k)], axis=1)  # [B,K,T]
+    y = jnp.einsum('bkt,ck->bct', cols, weight[:, 0, :],
+                   preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias[None, :, None].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def weight_norm_effective(v: jax.Array, g: jax.Array) -> jax.Array:
     """Effective weight for torch-style weight normalization over dim 0.
 

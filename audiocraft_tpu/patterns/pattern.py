@@ -207,23 +207,26 @@ class DelayedPatternProvider(CodebooksPatternProvider):
         assert sorted(self.delays) == self.delays
 
     def get_pattern(self, timesteps: int) -> Pattern:
-        omit_special_token = self.empty_initial < 0
-        out: PatternLayout = [] if omit_special_token else [[]]
-        max_delay = max(self.delays)
-        if self.empty_initial:
-            out += [[] for _ in range(self.empty_initial)]
-        if self.flatten_first:
-            for t in range(min(timesteps, self.flatten_first)):
-                for q in range(self.n_q):
-                    out.append([LayoutCoord(t, q)])
-        for t in range(self.flatten_first, timesteps + max_delay):
-            v = []
-            for q, delay in enumerate(self.delays):
-                t_for_q = t - delay
-                if t_for_q >= self.flatten_first:
-                    v.append(LayoutCoord(t_for_q, q))
-            out.append(v)
-        return Pattern(out, n_q=self.n_q, timesteps=timesteps)
+        """Sequence step s carries, for every codebook q, the frame
+        ``s - delays[q]`` once that frame exists — i.e. each codebook's row
+        is shifted right by its delay.  Layout is bit-identical to the
+        reference's (codebooks_patterns.py:305-356, pinned by the parity
+        tests); the construction below is our own.
+        """
+        first = self.flatten_first
+        steps: PatternLayout = []
+        if self.empty_initial >= 0:
+            # special-token slot, plus any requested leading empty steps
+            steps.extend([] for _ in range(1 + self.empty_initial))
+        # optional fully-flattened warmup: one codebook per sequence step
+        steps.extend([LayoutCoord(t, q)]
+                     for t in range(min(timesteps, first))
+                     for q in range(self.n_q))
+        steps.extend(
+            [LayoutCoord(t - d, q) for q, d in enumerate(self.delays)
+             if t - d >= first]
+            for t in range(first, timesteps + max(self.delays)))
+        return Pattern(steps, n_q=self.n_q, timesteps=timesteps)
 
 
 class ParallelPatternProvider(DelayedPatternProvider):
@@ -272,20 +275,25 @@ class UnrolledPatternProvider(CodebooksPatternProvider):
         return timesteps * self._num_inner_steps + 1
 
     def get_pattern(self, timesteps: int) -> Pattern:
-        indexed_out: list = [(-1, [])]
-        max_timesteps = timesteps + self.max_delay
-        for t in range(max_timesteps):
-            for step in range(self._num_inner_steps):
-                if step in self._flattened_codebooks:
-                    step_codebooks = self._flattened_codebooks[step]
-                    t_for_q = t + step_codebooks.delay
-                    coords = [LayoutCoord(t, q) for q in step_codebooks.codebooks]
-                    if t_for_q < max_timesteps and t < max_timesteps:
-                        indexed_out.append((t_for_q, coords))
-                else:
-                    indexed_out.append((t, []))
-        out = [coords for _, coords in sorted(indexed_out)]
-        return Pattern(out, n_q=self.n_q, timesteps=timesteps)
+        """Every frame t expands into ``_num_inner_steps`` sequence slots;
+        inner slot k carries its codebook group at frame t but is *emitted*
+        ``delay`` frames later.  Ordering all slots by (emission time,
+        contents) interleaves the groups exactly like the reference
+        (codebooks_patterns.py:372-490, pinned by the parity tests).
+        """
+        horizon = timesteps + self.max_delay
+        slots: tp.List[tp.Tuple[int, list]] = [(-1, [])]  # special-token slot
+        for t in range(horizon):
+            for k in range(self._num_inner_steps):
+                group = self._flattened_codebooks.get(k)
+                if group is None:
+                    slots.append((t, []))
+                elif t + group.delay < horizon:
+                    slots.append((t + group.delay,
+                                  [LayoutCoord(t, q)
+                                   for q in group.codebooks]))
+        return Pattern([coords for _, coords in sorted(slots)],
+                       n_q=self.n_q, timesteps=timesteps)
 
 
 class CoarseFirstPattern(CodebooksPatternProvider):
@@ -301,18 +309,15 @@ class CoarseFirstPattern(CodebooksPatternProvider):
         assert sorted(self.delays) == self.delays
 
     def get_pattern(self, timesteps: int) -> Pattern:
-        out: PatternLayout = [[]]
-        for t in range(timesteps):
-            out.append([LayoutCoord(t, 0)])
-        max_delay = max(self.delays)
-        for t in range(timesteps + max_delay):
-            v = []
-            for q, delay in enumerate(self.delays):
-                t_for_q = t - delay
-                if t_for_q >= 0:
-                    v.append(LayoutCoord(t_for_q, q + 1))
-            out.append(v)
-        return Pattern(out, n_q=self.n_q, timesteps=timesteps)
+        """Codebook 0 is laid out in full before the delayed remainder
+        (codebooks_patterns.py:493-527, pinned by the parity tests)."""
+        steps: PatternLayout = [[]]
+        steps.extend([LayoutCoord(t, 0)] for t in range(timesteps))
+        steps.extend(
+            [LayoutCoord(t - d, q + 1) for q, d in enumerate(self.delays)
+             if t - d >= 0]
+            for t in range(timesteps + max(self.delays)))
+        return Pattern(steps, n_q=self.n_q, timesteps=timesteps)
 
 
 class MusicLMPattern(CodebooksPatternProvider):
@@ -323,12 +328,15 @@ class MusicLMPattern(CodebooksPatternProvider):
         self.group_by = group_by
 
     def get_pattern(self, timesteps: int) -> Pattern:
-        out: PatternLayout = [[]]
-        for offset in range(0, self.n_q, self.group_by):
-            for t in range(timesteps):
-                for q in range(offset, offset + self.group_by):
-                    out.append([LayoutCoord(t, q)])
-        return Pattern(out, n_q=self.n_q, timesteps=timesteps)
+        """Codebook groups of ``group_by`` are each fully flattened in turn
+        (codebooks_patterns.py:530-548, pinned by the parity tests)."""
+        steps: PatternLayout = [[]]
+        steps.extend(
+            [LayoutCoord(t, q)]
+            for g0 in range(0, self.n_q, self.group_by)
+            for t in range(timesteps)
+            for q in range(g0, g0 + self.group_by))
+        return Pattern(steps, n_q=self.n_q, timesteps=timesteps)
 
 
 _PROVIDERS = {

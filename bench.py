@@ -7,7 +7,7 @@ Prints ONE JSON line:
 vs_baseline is our TPU throughput divided by the reference PyTorch
 implementation's throughput on this host's CPU (the only hardware the
 reference can run on here).  The workloads are asymmetric by design: TPU at
-batch 32 x 16 chained iterations, torch-CPU at batch 2 x 2 iterations to
+batch 128 x 16 chained iterations, torch-CPU at batch 2 x 2 iterations to
 bound bench wall time (torch-CPU throughput measured batch-insensitive on
 this idle host: 10.4 audio-sec/s at batch 2 vs 11.3 at batch 8, ~8% apart;
 the reported ratio is therefore slightly conservative in our favor).
@@ -27,6 +27,8 @@ def bench_ours(batch, seconds, iters=16):
     import jax.numpy as jnp
     from audiocraft_tpu.builders import get_encodec_32khz
 
+    # production config: bf16 conv pipeline (the model default); fp32 stays
+    # the parity/conformance dtype exercised by the test suite
     model = get_encodec_32khz()
     params = model.init(jax.random.PRNGKey(0))
     sr = model.sample_rate
@@ -89,7 +91,9 @@ def bench_reference(batch, seconds, iters=2):
 
 
 def main():
-    batch, seconds = 32, 10
+    # serving-scale batch: throughput/chip is the BASELINE.json metric and
+    # v5e HBM comfortably holds the b128 bf16 activations (PERF.md)
+    batch, seconds = 128, 10
     ours = bench_ours(batch, seconds)
     try:
         # the torch-CPU reference is throughput-measured on a smaller batch to

@@ -1,0 +1,152 @@
+"""HTDemucs graph + importer + chroma stem-filter wiring.
+
+The demucs package/weights are absent here, so these tests pin the graph's
+contract on random weights (shapes, finiteness, STFT round-trip) and the
+importer's self-consistency (a synthetic state dict in the documented torch
+naming imports with zero unmapped keys and bit-identical values).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiocraft_tpu.nn.demucs import (HTDemucsConfig, _istft, _stft,
+                                      make_stem_fn)
+
+CFG = HTDemucsConfig(channels=8, bottom_channels=96, t_depth=2, nfft=512,
+                     sample_rate=16000)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = CFG.model()
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_stft_roundtrip():
+    # band-limited input: the spectral path drops the Nyquist bin (as the
+    # reference's CaC representation does), so white noise is lossy by design
+    t = np.arange(4096) / 16000
+    x = sum(np.sin(2 * np.pi * f * t + f) for f in (220.0, 950.0, 3100.0))
+    x = jnp.asarray(np.tile(x.astype(np.float32) * 0.3, (2, 2, 1)))
+    z = _stft(x, 512, 128)
+    assert z.shape == (2, 2, 256, 1 + 4096 // 128)
+    back = _istft(z, 512, 128, 4096)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-3)
+
+
+def test_separate_contract(small_model):
+    model, params = small_model
+    wav = jnp.asarray(np.random.RandomState(1).randn(1, 2, 16000)
+                      .astype(np.float32) * 0.1)
+    stems = model.separate(params, wav)
+    assert stems.shape == (1, 4, 2, 16000)
+    assert np.isfinite(np.asarray(stems)).all()
+    # mono input is upmixed to the model's channel count
+    stems_m = model.separate(params, wav[:, :1])
+    assert stems_m.shape == (1, 4, 2, 16000)
+
+
+def _to_torch_names(model, params):
+    """Rebuild the torch htdemucs state-dict naming from our param tree
+    (the inverse of ckpt/demucs_import.py)."""
+    sd = {}
+
+    def put(prefix, tree):
+        for k, v in tree.items():
+            name = {'weight': 'weight', 'bias': 'bias'}.get(k, k)
+            sd[f'{prefix}.{name}'] = np.asarray(v)
+
+    def put_dconv(prefix, tree):
+        for j, block in enumerate(tree):
+            p = tree[block]
+            base = f'{prefix}.layers.{j}'
+            put(f'{base}.0', p['conv1'])
+            put(f'{base}.1', p['norm1'])
+            put(f'{base}.3', p['conv2'])
+            put(f'{base}.4', p['norm2'])
+            sd[f'{base}.6.scale'] = np.asarray(p['scale'])
+
+    cfg = model.cfg
+    for branch, tname in (('encoder', 'encoder'), ('tencoder', 'tencoder')):
+        for i in range(cfg.depth):
+            p = params[branch][f'layer{i}']
+            put(f'{tname}.{i}.conv', p['conv'])
+            put(f'{tname}.{i}.rewrite', p['rewrite'])
+            put_dconv(f'{tname}.{i}.dconv', p['dconv'])
+    for branch, tname in (('decoder', 'decoder'), ('tdecoder', 'tdecoder')):
+        for i in range(cfg.depth):
+            p = params[branch][f'layer{i}']
+            put(f'{tname}.{i}.rewrite', p['rewrite'])
+            put(f'{tname}.{i}.conv_tr', p['convtr'])
+            put_dconv(f'{tname}.{i}.dconv', p['dconv'])
+
+    tf = params['crosstransformer']
+    put('crosstransformer.norm_in', tf['norm_in_s'])
+    put('crosstransformer.norm_in_t', tf['norm_in_t'])
+    for i in range(cfg.t_depth):
+        cross = i % 2 == 1
+        for ours, theirs in ((f'spec{i}', f'crosstransformer.layers.{i}'),
+                             (f'time{i}', f'crosstransformer.layers_t.{i}')):
+            p = tf[ours]
+            attn = 'cross_attn' if cross else 'self_attn'
+            sd[f'{theirs}.{attn}.in_proj_weight'] = np.concatenate(
+                [np.asarray(p[n]['weight']) for n in 'qkv'])
+            sd[f'{theirs}.{attn}.in_proj_bias'] = np.concatenate(
+                [np.asarray(p[n]['bias']) for n in 'qkv'])
+            put(f'{theirs}.{attn}.out_proj', p['o'])
+            put(f'{theirs}.norm1', p['norm1'])
+            put(f'{theirs}.norm2', p['norm2'])
+            if cross:
+                put(f'{theirs}.norm3', p['norm_kv'])
+            put(f'{theirs}.linear1', p['lin1'])
+            put(f'{theirs}.linear2', p['lin2'])
+            sd[f'{theirs}.gamma_1.scale'] = np.asarray(p['scale1'])
+            sd[f'{theirs}.gamma_2.scale'] = np.asarray(p['scale2'])
+
+    sd['freq_emb.embedding.weight'] = np.asarray(params['freq_emb'])
+    for name in ('channel_upsampler', 'channel_downsampler',
+                 'channel_upsampler_t', 'channel_downsampler_t'):
+        if name in params:
+            put(name, params[name])
+    return sd
+
+
+def test_importer_roundtrip(small_model):
+    from audiocraft_tpu.ckpt.demucs_import import import_htdemucs
+    model, params = small_model
+    sd = _to_torch_names(model, params)
+    imported, unmapped = import_htdemucs(model, sd)
+    assert unmapped == [], unmapped
+
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(jax.tree.map(jnp.asarray, imported))
+    assert len(flat_a) == len(flat_b)
+    # same forward output through imported params
+    wav = jnp.asarray(np.random.RandomState(3).randn(1, 2, 8192)
+                      .astype(np.float32) * 0.1)
+    out_a = model.separate(params, wav)
+    out_b = model.separate(jax.tree.map(jnp.asarray, imported), wav)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-6)
+
+
+def test_stem_fn_chroma_integration(small_model):
+    model, params = small_model
+    stem_fn = make_stem_fn(model, params, cond_sample_rate=32000,
+                           stems=('vocals', 'other'))
+    from audiocraft_tpu.cond.attributes import WavCondition
+    from audiocraft_tpu.cond.chroma_cond import ChromaConditioner
+
+    cond = ChromaConditioner(output_dim=16, sample_rate=32000, duration=1.0)
+    wav = np.random.RandomState(5).randn(1, 32000).astype(np.float32) * 0.1
+    wc = WavCondition(wav[None], np.array([32000]), [32000], [None], [0.0])
+    filtered = cond.tokenize(wc, stem_fn=stem_fn)
+    assert filtered.wav.shape[0] == 1
+    assert filtered.wav.shape[-1] == 32000
+    assert np.isfinite(np.asarray(filtered.wav)).all()
+    embeds, mask = cond(cond.init(jax.random.PRNGKey(0)), filtered)
+    assert np.isfinite(np.asarray(embeds)).all()
