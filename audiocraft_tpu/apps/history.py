@@ -7,7 +7,6 @@ Gradio gallery / HF-hub upload layers (UI- and network-bound; seams only).
 from __future__ import annotations
 
 import json
-import os
 import shutil
 import time
 import typing as tp

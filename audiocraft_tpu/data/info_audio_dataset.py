@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 import typing as tp
 
-import numpy as np
 
 from ..cond.attributes import ConditioningAttributes
 from ..utils.misc import AudioCraftEnvironment

@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import dataclasses
 import io
-import typing as tp
 import zipfile
 from functools import lru_cache
 

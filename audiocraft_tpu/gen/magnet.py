@@ -10,7 +10,6 @@ import dataclasses
 import typing as tp
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..codec.encodec import EncodecModel

@@ -41,7 +41,6 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas imports fail on some backends; the XLA fallback never needs them
     from jax.experimental import pallas as pl

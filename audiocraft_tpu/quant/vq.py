@@ -28,7 +28,7 @@ from jax import lax
 
 from flax import struct
 
-from .codebook import (CodebookState, EuclideanCodebook, compute_distances,
+from .codebook import (CodebookState, EuclideanCodebook, compute_distances,  # noqa: re-export
                        dequantize, kmeans, quantize, sample_vectors)
 from ..ops.rvq_pallas import rvq_encode_fused
 

@@ -51,7 +51,7 @@ def main():
     # batch 64 bf16
     w64 = [jnp.concatenate([w, w]) for w in wavs]
     chain_time(lambda c, x: enc_full(c, x, jnp.bfloat16), [(w,) for w in w64],
-               label=f"full encode bf16 b64")
+               label="full encode bf16 b64")
 
     # encoder-only, stage-by-stage (bf16)
     enc = model.encoder

@@ -2,7 +2,6 @@
 
 Each candidate is a tiny pallas kernel; prints OK/FAIL per candidate.
 """
-import traceback
 
 import jax
 import jax.numpy as jnp

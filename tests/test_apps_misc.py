@@ -197,3 +197,30 @@ def test_titlecard_render(tmp_path):
     text = settings_text({'prompt': 'p', 'Seed': 7, 'topk': 250, 'x': 'y'})
     assert text.startswith('prompt: p')
     assert 'Seed: 7' in text and 'x: y' in text
+
+
+def test_batch_generate_cli(tmp_path):
+    """Batched demo pipeline (reference app_batched.py): prompts file ->
+    wavs + manifest (+videos when the native muxer exists)."""
+    from audiocraft_tpu.apps.batch_generate import main as batch_main
+    from audiocraft_tpu.io import video as vid
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("a calm piano piece\n# comment\nupbeat drums\n")
+    out = tmp_path / "out"
+    args = [str(prompts), '--out', str(out), '--model', 'debug',
+            '--duration', '0.5', '--batch-size', '2',
+            '--cache-dir', str(tmp_path / 'cache')]
+    if vid.available():
+        args.append('--video')
+    batch_main(args)
+
+    wavs = sorted(out.glob('*.wav'))
+    assert len(wavs) == 2
+    manifest = json.loads((out / 'manifest.json').read_text())
+    assert len(manifest) == 2
+    assert manifest[0]['prompt'] == 'a calm piano piece'
+    if vid.available():
+        assert len(sorted(out.glob('*.mp4'))) == 2
+    from audiocraft_tpu.ckpt.loaders import clear_model_cache
+    clear_model_cache()

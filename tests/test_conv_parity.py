@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from audiocraft_tpu.nn.conv import (
     StreamableConv1d, StreamableConvTranspose1d,
-    get_extra_padding_for_conv1d, pad1d, unpad1d,
+    get_extra_padding_for_conv1d, pad1d,
 )
 from audiocraft_tpu.nn.lstm import StreamableLSTM
 from audiocraft_tpu.ckpt.torch_import import (

@@ -10,7 +10,6 @@ from audiocraft_tpu.io.wav import (audio_info, audio_read, audio_write,
                                    wav_read, wav_write)
 from audiocraft_tpu.io.resample import resample_frac
 from audiocraft_tpu.io.audio_utils import (apply_fade, apply_tafade,
-                                           convert_audio,
                                            convert_audio_channels, f32_pcm,
                                            i16_pcm, normalize_audio)
 from audiocraft_tpu.data.audio_dataset import (AudioDataset, AudioMeta,

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from audiocraft_tpu.cond.attributes import JointEmbedCondition
 from audiocraft_tpu.cond.joint_embed import (JointEmbeddingConditioner,

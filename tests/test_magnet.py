@@ -1,13 +1,12 @@
 """MAGNeT masked-parallel decoding tests."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
 
 from audiocraft_tpu.gen.magnet import get_debug_magnet
-from oracle import ref_module, to_np, to_torch
+from oracle import ref_module, to_np
 
 
 def test_restricted_context_mask_matches_reference():

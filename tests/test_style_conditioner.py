@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from audiocraft_tpu.builders import get_debug_compression_model
 from audiocraft_tpu.cond.attributes import WavCondition, nullify_wav
