@@ -21,15 +21,24 @@ def predict(model, text: str, melody: tp.Optional[tuple] = None,
             segment_duration: int = 30, seed: int = -1, top_k: int = 250,
             top_p: float = 0.0, temperature: float = 1.0,
             cfg_coef: float = 3.0,
-            history: tp.Optional[tp.Any] = None) -> tp.Tuple[Path, int]:
+            history: tp.Optional[tp.Any] = None,
+            cache_dir: tp.Optional[str] = None) -> tp.Tuple[Path, int]:
     """Headless predict (app.py:244-555 without the UI plumbing):
     text (+ optional melody) -> wav file path.  Long durations route through
     the segment-stitch extension; results optionally land in a
-    GenerationHistory."""
+    GenerationHistory.
+
+    `model` is a MusicGen facade or a model *name* resolved through the
+    cached loader (the reference UI's model dropdown, app.py:300-315).
+    """
     import jax
     from ..utils.misc import enable_compilation_cache
     enable_compilation_cache()
     import numpy as np
+
+    if isinstance(model, str):
+        from ..ckpt.loaders import load_model
+        model = load_model(model, cache_dir)
     from ..gen.extend import generate_music_segments, stitch_segments
     from ..io.wav import audio_write
 
@@ -70,8 +79,12 @@ def predict(model, text: str, melody: tp.Optional[tuple] = None,
     return path, seed
 
 
-def build_ui(model):
-    """Construct the Gradio Blocks UI (requires gradio)."""
+def build_ui(model, cache_dir: tp.Optional[str] = None):
+    """Construct the Gradio Blocks UI (requires gradio).
+
+    `model` may be a facade or a name; a model dropdown lists every locally
+    imported checkpoint (cached switching, reference app.py:300-315).
+    """
     try:
         import gradio as gr
     except ImportError as exc:  # pragma: no cover - env without gradio
@@ -79,15 +92,18 @@ def build_ui(model):
             "gradio is not installed; use apps.serve (REST) or apps.generate "
             "(CLI) instead") from exc
 
+    from ..ckpt.loaders import list_local_models, load_model
     from .history import GenerationHistory
     history = GenerationHistory(Path.home() / ".audiocraft_tpu" / "history")
+    initial_name = model if isinstance(model, str) else model.name
 
-    def _run(text, melody, duration, overlap, seed, top_k, top_p, temperature,
-             cfg_coef, progress=gr.Progress()):
-        model.set_custom_progress_callback(
+    def _run(model_name, text, melody, duration, overlap, seed, top_k, top_p,
+             temperature, cfg_coef, progress=gr.Progress()):
+        mdl = load_model(model_name, cache_dir)             if isinstance(model_name, str) else model
+        mdl.set_custom_progress_callback(
             lambda frac, msg: progress(frac, desc=msg))
         path, used_seed = predict(
-            model, text, melody, duration=duration, overlap=int(overlap),
+            mdl, text, melody, duration=duration, overlap=int(overlap),
             seed=int(seed), top_k=int(top_k), top_p=float(top_p),
             temperature=float(temperature), cfg_coef=float(cfg_coef),
             history=history)
@@ -97,6 +113,9 @@ def build_ui(model):
         gr.Markdown("# audiocraft_tpu — MusicGen on TPU")
         with gr.Row():
             with gr.Column():
+                model_name = gr.Dropdown(
+                    choices=list_local_models(cache_dir),
+                    value=initial_name, label="Model")
                 text = gr.Textbox(label="Description")
                 melody = gr.Audio(label="Melody (optional)", type="numpy")
                 duration = gr.Slider(1, 720, value=10, label="Duration (s)")
@@ -112,8 +131,8 @@ def build_ui(model):
                 audio_out = gr.Audio(label="Generated audio")
                 seed_out = gr.Number(label="Seed used")
         submit.click(_run,
-                     inputs=[text, melody, duration, overlap, seed, top_k,
-                             top_p, temperature, cfg_coef],
+                     inputs=[model_name, text, melody, duration, overlap,
+                             seed, top_k, top_p, temperature, cfg_coef],
                      outputs=[audio_out, seed_out])
     return demo
 
@@ -122,12 +141,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--share", action="store_true")
+    parser.add_argument("--model", default="debug")
+    parser.add_argument("--cache-dir", default=None)
     args = parser.parse_args(argv)
 
-    import jax
-    from ..gen.musicgen import get_debug_musicgen
-    model = get_debug_musicgen(jax.random.PRNGKey(0))
-    demo = build_ui(model)
+    demo = build_ui(args.model, cache_dir=args.cache_dir)
     demo.launch(server_port=args.port, share=args.share)
 
 

@@ -57,6 +57,10 @@ class MusicGen:
     cfg_coef: float = 3.0
     cfg_coef_beta: tp.Optional[float] = None
     two_step_cfg: bool = False
+    # decode compute dtype: bf16 is measured faster on TPU at serving batch
+    # (PERF.md round-2 decode table); None = fp32 (the parity dtype, used by
+    # the direct-LM parity tests)
+    decode_dtype: tp.Optional[str] = 'bfloat16'
 
     _progress_callback: tp.Optional[tp.Callable[[float, str], None]] = None
 
@@ -251,9 +255,12 @@ class MusicGen:
         condition_tensors = self._cfg_condition_tensors(attributes)
         num_samples = len(attributes)
         prompt_len = 0 if prompt_tokens is None else prompt_tokens.shape[-1]
+        decode_dtype = None
+        if self.decode_dtype is not None and jax.default_backend() == 'tpu':
+            decode_dtype = jnp.dtype(self.decode_dtype)
         sig = (num_samples, prompt_len, max_gen_len, self.use_sampling,
                self.temperature, self.top_k, self.top_p, self.cfg_coef,
-               self.cfg_coef_beta, self.two_step_cfg,
+               self.cfg_coef_beta, self.two_step_cfg, str(decode_dtype),
                isinstance(condition_tensors, tuple))
         cache = self.__dict__.setdefault('_gen_jit_cache', {})
         if sig not in cache:
@@ -269,7 +276,8 @@ class MusicGen:
                         num_samples=num_samples, max_gen_len=max_gen_len,
                         use_sampling=use_sampling, temp=temp, top_k=top_k,
                         top_p=top_p, cfg_coef=cfg_coef,
-                        cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step)
+                        cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step,
+                        compute_dtype=decode_dtype)
             else:
                 def fn(params, key, cond, prompt):
                     return lm.generate(
@@ -277,7 +285,8 @@ class MusicGen:
                         num_samples=num_samples, max_gen_len=max_gen_len,
                         use_sampling=use_sampling, temp=temp, top_k=top_k,
                         top_p=top_p, cfg_coef=cfg_coef,
-                        cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step)
+                        cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step,
+                        compute_dtype=decode_dtype)
             cache[sig] = jax.jit(fn)
         if prompt_len == 0:
             return cache[sig](self.lm_params, key, condition_tensors)

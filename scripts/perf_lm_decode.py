@@ -26,14 +26,14 @@ def run(lm, params, B, dtype_name):
     tensors = {'description': (cond, mask)}
     dtype = {'fp32': None, 'bf16': jnp.bfloat16}[dtype_name]
 
-    fn = jax.jit(lambda key: lm.generate(
-        params, key, condition_tensors=tensors, num_samples=B,
+    fn = jax.jit(lambda p, key, tens: lm.generate(
+        p, key, condition_tensors=tens, num_samples=B,
         max_gen_len=STEPS, use_sampling=True, top_k=250,
         compute_dtype=dtype))
-    out = fn(jax.random.PRNGKey(0))
+    out = fn(params, jax.random.PRNGKey(0), tensors)
     np.asarray(out)  # compile + warm
     t0 = time.perf_counter()
-    out = fn(jax.random.PRNGKey(1))
+    out = fn(params, jax.random.PRNGKey(1), tensors)
     np.asarray(out)
     dt = time.perf_counter() - t0
     print(f"B={B} {dtype_name}: {dt * 1e3:.1f} ms for {STEPS} steps "

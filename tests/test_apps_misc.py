@@ -224,3 +224,14 @@ def test_batch_generate_cli(tmp_path):
         assert len(sorted(out.glob('*.mp4'))) == 2
     from audiocraft_tpu.ckpt.loaders import clear_model_cache
     clear_model_cache()
+
+
+def test_ui_predict_by_model_name(tmp_path):
+    """predict() resolves model names through the cached loader (the UI's
+    model dropdown semantics, reference app.py:300-315)."""
+    from audiocraft_tpu.apps.ui import predict
+    path, seed = predict('debug', "tiny tune", duration=0.5, seed=3,
+                         cache_dir=str(tmp_path))
+    assert path.exists() and seed == 3
+    from audiocraft_tpu.ckpt.loaders import clear_model_cache
+    clear_model_cache()
