@@ -99,8 +99,9 @@ def generate_music_segments(text: str, melody: AudioTuple, seed: int,
     Returns (list of [B, C, T] waveform segments, excess_duration).
     `prompt_index >= 0` keeps one shared prompt segment for consistency;
     `prompt_index < 0` chains each segment's output as the next prompt.
-    (harmony_only HPSS filtering requires librosa in the reference; here it is
-    a no-op placeholder documented as an optional preprocessing step.)
+    `harmony_only` strips percussion from each melody verse via median-filter
+    HPSS before conditioning (reference extend.py:106-112,216-227; io/hpss.py
+    stands in for librosa.effects.hpss).
     """
     melody_segments = separate_audio_segments(melody, segment_duration, 0)
     text = f"{text}, seed={seed}"
@@ -122,6 +123,9 @@ def generate_music_segments(text: str, melody: AudioTuple, seed: int,
         else:
             verse = verse.T              # [T, C] -> [C, T]
         verse = verse[..., :int(sr * model.max_duration)]
+        if harmony_only:
+            from ..io.hpss import harmonic
+            verse = harmonic(verse)
         melodys.append(verse)
 
     key = jax.random.PRNGKey(seed & 0x7fffffff)

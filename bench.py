@@ -29,6 +29,8 @@ def bench_ours(batch, seconds, iters=16):
 
     # production config: bf16 conv pipeline (the model default); fp32 stays
     # the parity/conformance dtype exercised by the test suite
+    from audiocraft_tpu.obs import chained_throughput
+
     model = get_encodec_32khz()
     params = model.init(jax.random.PRNGKey(0))
     sr = model.sample_rate
@@ -36,26 +38,13 @@ def bench_ours(batch, seconds, iters=16):
     wavs = [jnp.asarray(np.random.RandomState(i).randn(
         batch, 1, sr * seconds).astype(np.float32) * 0.1) for i in range(4)]
 
-    # Chain a tiny data dependency through iterations so device execution is
-    # forced to serialize, then fetch one scalar at the end.  (This runtime's
-    # block_until_ready does not guarantee completion, and each host fetch
-    # costs ~25 ms of tunnel latency — chaining measures pure device time.)
-    def step(p, x, carry):
-        codes, _ = model.encode(p, x + carry * 1e-20)
+    def step(carry, x):
+        codes, _ = model.encode(params, x + carry * 1e-20)
         return codes, jnp.sum(codes).astype(jnp.float32)
 
-    step = jax.jit(step)
-    codes, carry = step(params, wavs[0], jnp.zeros(()))
-    float(carry)  # warmup + compile
-
-    t0 = time.perf_counter()
-    carry = jnp.zeros(())
-    for i in range(iters):
-        codes, carry = step(params, wavs[i % len(wavs)], carry)
-    float(carry)  # single forced materialization
-    dt = (time.perf_counter() - t0) / iters
-    audio_sec = batch * seconds
-    return audio_sec / dt
+    _, audio_sec_per_s = chained_throughput(
+        step, wavs, iters=iters, units_per_iter=batch * seconds)
+    return audio_sec_per_s
 
 
 def bench_reference(batch, seconds, iters=2):

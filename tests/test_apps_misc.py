@@ -235,3 +235,24 @@ def test_ui_predict_by_model_name(tmp_path):
     assert path.exists() and seed == 3
     from audiocraft_tpu.ckpt.loaders import clear_model_cache
     clear_model_cache()
+
+
+def test_hpss_separates_components():
+    """Median-filter HPSS: a steady tone is mostly harmonic, clicks mostly
+    percussive (io/hpss.py, the reference's librosa.effects.hpss role)."""
+    from audiocraft_tpu.io.hpss import hpss
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    clicks = np.zeros_like(tone)
+    clicks[::2000] = 1.0
+    mix = tone + clicks
+    h, p = hpss(mix[None])
+    assert h.shape == p.shape == (1, len(t))
+    # energy routing: harmonic keeps the tone, percussive keeps the clicks
+    tone_corr_h = np.corrcoef(h[0], tone)[0, 1]
+    tone_corr_p = np.corrcoef(p[0], tone)[0, 1]
+    assert tone_corr_h > 0.9 and tone_corr_h > tone_corr_p
+    click_energy_p = (p[0][::2000] ** 2).sum()
+    click_energy_h = (h[0][::2000] ** 2).sum()
+    assert click_energy_p > click_energy_h

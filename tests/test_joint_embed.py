@@ -71,3 +71,36 @@ def test_windowed_average_embedding():
     assert out.shape == (4,)
     # averaging across windows spans both halves
     assert 0.0 < out[0] < 1.0
+
+
+def test_clap_backend_end_to_end():
+    """The CLAP seam filled with a live transformers ClapModel (random
+    weights): embed_fn drives the JointEmbeddingConditioner end to end."""
+    import numpy as np
+    import torch
+    from transformers import ClapConfig, ClapModel
+
+    from audiocraft_tpu.cond.attributes import JointEmbedCondition
+    from audiocraft_tpu.cond.clap import make_clap_embed_fns
+    from audiocraft_tpu.cond.joint_embed import JointEmbeddingConditioner
+
+    torch.manual_seed(0)
+    cfg = ClapConfig()
+    cfg.text_config.num_hidden_layers = 1
+    clap = ClapModel(cfg).eval()
+    embed_fn, _ = make_clap_embed_fns(clap)
+
+    dim = clap.config.projection_dim
+    cond = JointEmbeddingConditioner(dim=dim, output_dim=16, embed_fn=embed_fn)
+    params = cond.init(jax.random.PRNGKey(0))
+
+    wav = np.random.RandomState(0).randn(2, 1, 32000).astype(np.float32) * 0.1
+    x = JointEmbedCondition(wav, [None, None], np.array([32000, 1]),
+                            sample_rate=[32000, 32000], path=[None, None],
+                            seek_time=[0.0, 0.0])
+    tokenized = cond.tokenize(x)
+    embeds, mask = cond(params, tokenized)
+    assert embeds.shape[0] == 2
+    assert np.isfinite(np.asarray(embeds)).all()
+    # entry 1 had length<=1 (nullified) -> masked out
+    assert np.asarray(mask)[1].sum() == 0
