@@ -399,3 +399,110 @@ def fused_encoder_apply(enc, params: dict, x: jax.Array, n_stages: int,
     if next_layer == 0:
         return None
     return jnp.swapaxes(xt, 1, 2), next_layer
+
+
+# ----------------------------------------------------- mono input conv kernel
+
+def _mono_conv_kernel(k: int, c_out: int, Rt: int, n_tiles: int, *refs):
+    """conv0 kernel body: x2 rows are 128-sample lane chunks; tap shifts are
+    lane rotations with a row-carry select; one K-contraction matmul.
+
+    refs: [x2_hbm, w, b, out_ref, xs, sem]
+    """
+    x2_hbm, w, b, out_ref, xs, sem = refs
+    bidx = pl.program_id(0)
+    t = pl.program_id(1)
+    r0 = pl.multiple_of(t * Rt, 8)
+    # transfer sizes must be 8-row aligned; the buffer carries 8 halo rows
+    # of which only the first matters
+    cp = pltpu.make_async_copy(x2_hbm.at[bidx, pl.ds(r0, Rt + 8), :],
+                               xs.at[0:Rt + 8], sem)
+    cp.start()
+    cp.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Rt, 128), 1)
+    # Mosaic's lane rotate only handles 32-bit data; shift in fp32
+    cur = xs[0:Rt, :].astype(jnp.float32)
+    nxt = xs[1:Rt + 1, :].astype(jnp.float32)
+    planes = []
+    for d in range(k):
+        if d == 0:
+            planes.append(cur)
+        else:
+            # plane_d[r, l] = flat[128*r + l + d]; pltpu.roll is a circular
+            # right-shift, so left-by-d == right-by-(128-d)
+            rc = pltpu.roll(cur, 128 - d, 1)
+            rn = pltpu.roll(nxt, 128 - d, 1)
+            planes.append(jnp.where(lane < 128 - d, rc, rn))
+    S = jnp.stack(planes).reshape(k, Rt * 128)
+    out = jax.lax.dot(w[...].astype(jnp.float32), S,
+                      preferred_element_type=jnp.float32)
+    out = out + b[...].astype(jnp.float32)
+    out_ref[0, :, :, :] = out.reshape(c_out, Rt, 128).astype(out_ref.dtype)
+
+
+def mono_input_conv(x: jax.Array, weight: jax.Array, bias: jax.Array,
+                    tile_rows: int = 64, interpret: bool = False
+                    ) -> tp.Optional[jax.Array]:
+    """The encoder's first conv (C_in=1, odd k, stride 1, reflect pad) as a
+    Pallas kernel — XLA lowers this conv ~20x off roofline (PERF.md).
+
+    x: [B, 1, T] -> [B, C_out, T].  Returns None when ineligible
+    (pallas unavailable or T % 128 != 0); caller falls back to XLA.
+
+    Status: token-exact vs XLA on the real chip; 13.8 ms vs 14.0 ms at
+    batch 32 (Rt=64; larger tiles regress — the K=7 matmul + per-tile
+    relayouts dominate, not DMA).  Not wired into the default path; kept as
+    the starting point for a future conv0 effort (PERF.md).
+    """
+    if not _HAS_PALLAS:
+        return None
+    B, cin, T = x.shape
+    cout, _, k = weight.shape
+    h = (k - 1) // 2
+    if cin != 1 or k % 2 == 0 or T % 128 or 2 * h >= 128:
+        return None
+    R = T // 128
+    # DMA row offsets must be 8-aligned, so tiles are multiples of 8 rows and
+    # R pads up to the tile grid (the zero tail is sliced off after).
+    Rt = max(8, (min(tile_rows, max(R // 2, 8)) // 8) * 8)
+    R_pad = ((R + Rt - 1) // Rt) * Rt
+    n_tiles = R_pad // Rt
+    if n_tiles < 1:
+        return None
+
+    xf = x[:, 0, :]
+    # x_pad[i] = x[i - h] with reflect edges; zero tail pads to the tile grid
+    # plus eight halo rows (DMA sizes must be 8-row aligned)
+    tail = (R_pad + 8) * 128 - (T + 2 * h)
+    xp = jnp.concatenate(
+        [xf[:, 1:h + 1][:, ::-1], xf, xf[:, -h - 1:-1][:, ::-1],
+         jnp.zeros((B, tail), x.dtype)], axis=1)
+    x2 = xp.reshape(B, R_pad + 8, 128)
+    w = weight[:, 0, :].astype(x.dtype)            # [C_out, k]
+    b = bias[None, :].astype(x.dtype)              # [1, C_out] -> use [C,1]
+    b = jnp.swapaxes(b, 0, 1)                      # [C_out, 1]
+
+    kernel = functools.partial(_mono_conv_kernel, k, cout, Rt, n_tiles)
+    out4 = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, cout, Rt, 128),
+                               lambda bi, ti: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, cout, R_pad, 128), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Rt + 8, 128), x.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * cout * T * B,
+            bytes_accessed=(T + cout * T) * B * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, w, b)
+    # the zero-tail slice fuses with the consumer's own pad/copy
+    return out4.reshape(B, cout, R_pad * 128)[..., :T]

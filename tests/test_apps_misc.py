@@ -256,3 +256,26 @@ def test_hpss_separates_components():
     click_energy_p = (p[0][::2000] ** 2).sum()
     click_energy_h = (h[0][::2000] ** 2).sum()
     assert click_energy_p > click_energy_h
+
+
+def test_storage_publish_and_shortener(tmp_path):
+    """Artifact store + URL shortener (reference modules/storage.py role,
+    local backend)."""
+    from audiocraft_tpu.apps.storage import (LocalStore, publish,
+                                             resolve_url, shorten_url)
+    store = LocalStore(tmp_path / "repo", base_url="https://store.local")
+    wav = tmp_path / "a.wav"
+    wav.write_bytes(b"RIFF....WAVE")
+    mp4 = tmp_path / "a.mp4"
+    mp4.write_bytes(b"mp4!")
+
+    result = publish(store, [wav, mp4], "user/track/42")
+    assert len(result['files']) == 2
+    assert (tmp_path / "repo" / "user/track/42" / "a.wav").exists()
+    assert 'audio=' in result['permalink'] and 'video=' in result['permalink']
+    assert resolve_url(store, result['short_url']) == result['permalink']
+
+    # idempotent shortening: same url -> same id
+    again = shorten_url(store, result['permalink'])
+    assert again == result['short_url']
+    assert resolve_url(store, 'nope') is None

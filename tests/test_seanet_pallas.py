@@ -127,3 +127,50 @@ def test_full_encoder_fused_prefix_parity():
     y_ref = enc(p16, x)
     assert y_fused.shape == y_ref.shape
     assert _rel_err(y_fused, y_ref) < 3e-2
+
+
+def test_mono_input_conv_parity():
+    """Pallas conv0 kernel vs the XLA module conv (bf16, interpret)."""
+    from audiocraft_tpu.ops.seanet_pallas import mono_input_conv
+    enc = SEANetEncoder(channels=1, dimension=16, n_filters=64,
+                        n_residual_layers=1, ratios=(8, 5, 4, 4),
+                        norm='none', lstm=0)
+    params = enc.init(jax.random.PRNGKey(9))
+    mod0 = enc._layers()[0][1]
+    p0 = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                      params['layer0'])
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 1, 128 * 64) * 0.4,
+                    jnp.bfloat16)
+    out = mono_input_conv(x, p0['weight'], p0['bias'], tile_rows=16,
+                          interpret=True)
+    assert out is not None
+    ref = mod0(p0, x)
+    assert out.shape == ref.shape
+    assert _rel_err(out, ref) < 1e-2
+    assert _rel_err(out[..., :8], ref[..., :8]) < 1e-2       # reflect edges
+    assert _rel_err(out[..., -8:], ref[..., -8:]) < 1e-2
+
+    # ineligible: length not a lane multiple
+    assert mono_input_conv(jnp.zeros((1, 1, 100), jnp.bfloat16),
+                           p0['weight'], p0['bias'], interpret=True) is None
+
+
+def test_mono_input_conv_nondivisible_length():
+    """T/128 not divisible by the tile: the padded grid still yields exact
+    output (e.g. the production T=320000 -> R=2500 case)."""
+    from audiocraft_tpu.ops.seanet_pallas import mono_input_conv
+    enc = SEANetEncoder(channels=1, dimension=16, n_filters=64,
+                        n_residual_layers=1, ratios=(8, 5, 4, 4),
+                        norm='none', lstm=0)
+    params = enc.init(jax.random.PRNGKey(11))
+    mod0 = enc._layers()[0][1]
+    p0 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params['layer0'])
+    T = 128 * 25  # 25 rows: not divisible by 8
+    x = jnp.asarray(np.random.RandomState(6).randn(1, 1, T) * 0.4,
+                    jnp.bfloat16)
+    out = mono_input_conv(x, p0['weight'], p0['bias'], tile_rows=16,
+                          interpret=True)
+    assert out is not None and out.shape == (1, 64, T)
+    ref = mod0(p0, x)
+    assert _rel_err(out, ref) < 1e-2
+    assert _rel_err(out[..., -16:], ref[..., -16:]) < 1e-2
