@@ -67,3 +67,49 @@ class GenerationHistory:
     def export_zip(self, dest: tp.Union[str, Path]) -> Path:
         archive = shutil.make_archive(str(dest), "zip", self.root)
         return Path(archive)
+
+
+def render_gallery_html(history: "GenerationHistory",
+                        title: str = "Generation history",
+                        page: int = 0, per_page: int = 50) -> str:
+    """Static HTML gallery over a GenerationHistory — the gradio-free
+    counterpart of the reference's per-user gallery tab
+    (user_history.py:333-741): newest first, audio players, metadata lines,
+    simple pagination."""
+    entries = list(reversed(history.list()))
+    pages = max(1, (len(entries) + per_page - 1) // per_page)
+    page = max(0, min(page, pages - 1))
+    chunk = entries[page * per_page:(page + 1) * per_page]
+    cards = []
+    for e in chunk:
+        meta = " | ".join(f"{k}: {v}" for k, v in e.get("metadata", {}).items()
+                          if isinstance(v, (str, int, float)))
+        img = (f'<img src="{e["image"]}" alt="" width="240"/>'
+               if e.get("image") else "")
+        cards.append(
+            f'<div class="card"><h3>{e.get("label", "")}</h3>'
+            f'<p class="ts">{e.get("timestamp", "")}</p>{img}'
+            f'<audio controls src="{e["audio"]}"></audio>'
+            f'<p class="meta">{meta}</p></div>')
+    nav = " ".join(
+        f'<a href="?page={i}"{" class=cur" if i == page else ""}>{i + 1}</a>'
+        for i in range(pages))
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{title}</title><style>"
+        "body{font-family:sans-serif;background:#0b0f19;color:#eee;margin:2em}"
+        ".card{background:#151b2c;padding:1em;margin:1em 0;border-radius:8px}"
+        ".ts{color:#8aa;font-size:0.8em}.meta{color:#aab;font-size:0.85em}"
+        "a{color:#6cf;margin-right:0.5em}a.cur{font-weight:bold}"
+        "</style></head><body>"
+        f"<h1>{title}</h1><p>{len(entries)} generations</p>"
+        f"{''.join(cards)}<p class='nav'>{nav}</p></body></html>")
+
+
+def write_gallery(history: "GenerationHistory",
+                  dest: tp.Optional[tp.Union[str, Path]] = None) -> Path:
+    """Write the gallery page next to the stored artifacts (relative audio
+    paths resolve) and return its path."""
+    dest = Path(dest) if dest else history.root / "index.html"
+    dest.write_text(render_gallery_html(history))
+    return dest

@@ -82,6 +82,7 @@ def main(argv=None):
     parser.add_argument('--size', default='small',
                         choices=['small', 'medium', 'large', 'debug'])
     parser.add_argument('--melody', action='store_true')
+    parser.add_argument('--style', action='store_true')
     parser.add_argument('--t5-state', default=None,
                         help='optional torch T5 encoder state dict to bundle '
                              '(published LM exports exclude the frozen T5)')
@@ -112,7 +113,8 @@ def main(argv=None):
         if args.size == 'debug':
             model, provider = get_debug_musicgen_lm()
         else:
-            model, provider = get_musicgen_lm(args.size, melody=args.melody)
+            model, provider = get_musicgen_lm(args.size, melody=args.melody,
+                                              style=args.style)
         lm_params = import_lm(model, sd)
         imported_cond = import_conditioners(provider, sd)
         cond_params = provider.init(jax.random.PRNGKey(0))

@@ -114,10 +114,12 @@ def get_debug_musicgen_lm():
 
 
 def get_musicgen_lm(size: str = 'small', melody: bool = False,
-                    n_q: int = 4, card: int = 2048):
+                    style: bool = False, n_q: int = 4, card: int = 2048):
     """MusicGen LM config for the published model sizes (reference
     musicgen.py:100-143 pretrained map; builders.py:136-175 cfg factory).
-    Text conditions via T5 cross-attention; melody variants prepend chroma."""
+    Text conditions via T5 cross-attention; melody variants prepend chroma;
+    style variants (musicgen-style) prepend the RVQ-bottlenecked style
+    tokens and generate with double CFG."""
     from .cond.chroma_cond import ChromaConditioner
     from .cond.conditioners import ConditioningProvider, T5Conditioner
     from .cond.fuser import ConditionFuser
@@ -133,6 +135,13 @@ def get_musicgen_lm(size: str = 'small', melody: bool = False,
         conditioners['self_wav'] = ChromaConditioner(
             output_dim=shape['dim'], sample_rate=32000, n_chroma=12,
             radix2_exp=12, duration=30.0)
+        fuse['prepend'] = ('self_wav',)
+    if style:
+        from .cond.style_cond import StyleConditioner
+        assert not melody, 'style and melody conditioning are exclusive'
+        conditioners['self_wav'] = StyleConditioner(
+            feat_extractor=get_encodec_32khz(compute_dtype=None),
+            output_dim=shape['dim'], sample_rate=32000)
         fuse['prepend'] = ('self_wav',)
     provider = ConditioningProvider.from_dict(conditioners)
     fuser = ConditionFuser.from_dict(fuse)

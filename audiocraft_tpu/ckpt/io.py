@@ -36,6 +36,8 @@ def _registry():
         from ..codec.stereo import InterleaveStereoCompressionModel
         from ..codec.wrappers import HFEncodecCompressionModel
         from ..cond.chroma_cond import ChromaConditioner
+        from ..cond.joint_embed import JointEmbeddingConditioner
+        from ..cond.style_cond import StyleConditioner
         from ..cond.conditioners import (ConditioningProvider, LUTConditioner,
                                          T5Conditioner)
         from ..cond.fuser import ConditionFuser
@@ -52,7 +54,8 @@ def _registry():
                   HFEncodecCompressionModel,
                   SEANetEncoder, SEANetDecoder, ResidualVectorQuantizer,
                   DummyQuantizer, LMModel, ConditionFuser, LUTConditioner,
-                  T5Conditioner, ChromaConditioner, ConditioningProvider,
+                  T5Conditioner, ChromaConditioner, StyleConditioner,
+                  JointEmbeddingConditioner, ConditioningProvider,
                   DelayedPatternProvider, ParallelPatternProvider,
                   UnrolledPatternProvider, CoarseFirstPattern, MusicLMPattern)
     return _REGISTRY

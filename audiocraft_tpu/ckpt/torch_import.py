@@ -321,6 +321,31 @@ def import_conditioners(provider, sd: StateDict,
             params["output_proj"] = _linear(sd, f"{base}.output_proj")
         if f"{base}.embed.weight" in sd:   # LUTConditioner lookup table
             params["embed"] = np.asarray(sd[f"{base}.embed.weight"])
+        # StyleConditioner internals (reference conditioners.py:762-1003:
+        # per-codebook embedding list, StreamingTransformer, RVQ bottleneck,
+        # affine-less BatchNorm; the EnCodec feature extractor ships in the
+        # separate compression checkpoint)
+        if f"{base}.embed.0.weight" in sd:
+            embeds = []
+            while f"{base}.embed.{len(embeds)}.weight" in sd:
+                embeds.append(np.asarray(sd[f"{base}.embed.{len(embeds)}.weight"]))
+            params["embed"] = np.stack(embeds)           # [n_q, card, dim]
+        if f"{base}.transformer.layers.0.norm1.weight" in sd:
+            n_layers = 0
+            while f"{base}.transformer.layers.{n_layers}.norm1.weight" in sd:
+                n_layers += 1
+            params["transformer"] = import_transformer(
+                sd, n_layers, f"{base}.transformer")
+        if f"{base}.rvq.vq.layers.0._codebook.embed" in sd:
+            n_q = 0
+            while f"{base}.rvq.vq.layers.{n_q}._codebook.embed" in sd:
+                n_q += 1
+            params["rvq"] = import_rvq(sd, n_q, f"{base}.rvq")
+        if f"{base}.batch_norm.running_mean" in sd:
+            params["bn"] = {
+                "mean": np.asarray(sd[f"{base}.batch_norm.running_mean"]),
+                "var": np.asarray(sd[f"{base}.batch_norm.running_var"]),
+            }
         if params:
             out[name] = params
     return out

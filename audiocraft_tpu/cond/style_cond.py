@@ -110,7 +110,12 @@ class StyleConditioner:
         return dataclasses.replace(self, **changes)
 
     # ------------------------------------------------------------------ init
-    def init(self, key: jax.Array, codec_params: dict) -> dict:
+    def init(self, key: jax.Array, codec_params: tp.Optional[dict] = None) -> dict:
+        if codec_params is None:
+            # standalone init (e.g. through ConditioningProvider.init); the
+            # real extractor weights arrive via the compression checkpoint
+            key, ck = jax.random.split(key)
+            codec_params = self.feat_extractor.init(ck)
         keys = jax.random.split(key, 5)
         dim = self.dim
         params: dict = {

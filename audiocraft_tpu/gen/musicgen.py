@@ -98,6 +98,31 @@ class MusicGen:
     def set_custom_progress_callback(self, cb) -> None:
         self._progress_callback = cb
 
+    def set_style_conditioner_params(self, eval_q: int = 3,
+                                     excerpt_length: float = 3.0,
+                                     ds_factor: tp.Optional[int] = None,
+                                     encodec_n_q: tp.Optional[int] = None
+                                     ) -> None:
+        """Tune the style conditioner's bottleneck at inference (reference
+        musicgen.py:185-209 / conditioners.py:970-985); rebuilds the provider
+        entry since our configs are frozen."""
+        from ..cond.style_cond import StyleConditioner
+        updated = []
+        found = False
+        for name, cond in self.condition_provider.conditioners:
+            if isinstance(cond, StyleConditioner):
+                cond = cond.with_params(eval_q=eval_q,
+                                        excerpt_length=excerpt_length,
+                                        ds_factor=ds_factor,
+                                        encodec_n_q=encodec_n_q)
+                found = True
+            updated.append((name, cond))
+        if not found:
+            raise RuntimeError(
+                'set_style_conditioner_params requires a style model')
+        self.condition_provider = dataclasses.replace(
+            self.condition_provider, conditioners=tuple(updated))
+
     # ------------------------------------------------------------- prepare
     def _prepare_tokens_and_attributes(
             self, descriptions: tp.Sequence[tp.Optional[str]],

@@ -279,3 +279,20 @@ def test_storage_publish_and_shortener(tmp_path):
     again = shorten_url(store, result['permalink'])
     assert again == result['short_url']
     assert resolve_url(store, 'nope') is None
+
+
+def test_history_gallery_html(tmp_path):
+    from audiocraft_tpu.apps.history import GenerationHistory, write_gallery
+    from audiocraft_tpu.io.wav import wav_write
+    wav = np.zeros((1, 800), np.float32)
+    src = tmp_path / "s.wav"
+    wav_write(wav, src, 16000)
+    hist = GenerationHistory(tmp_path / "h", user="u")
+    hist.save(src, label="first tune", metadata={"seed": 1, "model": "debug"})
+    hist.save(src, label="second tune", metadata={"seed": 2})
+    page = write_gallery(hist)
+    html = page.read_text()
+    assert page.name == "index.html"
+    assert "first tune" in html and "second tune" in html
+    assert html.count("<audio") == 2
+    assert "seed: 2" in html

@@ -138,3 +138,91 @@ def test_get_pretrained_dispatch(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         loaders.get_pretrained('melody', cache)
+
+
+def test_style_conditioner_import_roundtrip(tmp_path):
+    """Style-model conditioner internals (embedding list, transformer, RVQ
+    bottleneck, batch-norm stats — reference conditioners.py:762-1003) import
+    bit-exact from the torch naming, via the CLI-equivalent path."""
+    from audiocraft_tpu.builders import get_debug_compression_model
+    from audiocraft_tpu.ckpt.torch_import import (KeyTracker,
+                                                  import_conditioners,
+                                                  merge_params)
+    from audiocraft_tpu.cond.conditioners import ConditioningProvider
+    from audiocraft_tpu.cond.style_cond import StyleConditioner
+
+    codec = get_debug_compression_model(32000)
+    cond = StyleConditioner(feat_extractor=codec, output_dim=32,
+                            transformer_scale='default')
+    provider = ConditioningProvider.from_dict({'self_wav': cond})
+    params = provider.init(jax.random.PRNGKey(2))
+    sp = params['self_wav']
+
+    # synthesize the reference torch naming from our param tree
+    sd = {}
+    base = 'condition_provider.conditioners.self_wav'
+    for k in range(sp['embed'].shape[0]):
+        sd[f'{base}.embed.{k}.weight'] = np.asarray(sp['embed'][k])
+    sd[f'{base}.output_proj.weight'] = np.asarray(sp['output_proj']['weight'])
+    sd[f'{base}.output_proj.bias'] = np.asarray(sp['output_proj']['bias'])
+    for i, (lname, lp) in enumerate(sorted(sp['transformer'].items())):
+        tb = f'{base}.transformer.layers.{i}'
+        sd[f'{tb}.self_attn.in_proj_weight'] = np.asarray(
+            lp['self_attn']['in_proj_weight'])
+        sd[f'{tb}.self_attn.out_proj.weight'] = np.asarray(
+            lp['self_attn']['out_proj']['weight'])
+        for part in ('norm1', 'norm2', 'linear1', 'linear2'):
+            for wb in lp[part]:
+                sd[f'{tb}.{part}.{wb}'] = np.asarray(lp[part][wb])
+    rvq = sp['rvq']
+    rvq = rvq if isinstance(rvq, dict) else rvq.__dict__
+    for q in range(np.asarray(rvq['embed']).shape[0]):
+        qb = f'{base}.rvq.vq.layers.{q}._codebook'
+        sd[f'{qb}.embed'] = np.asarray(rvq['embed'][q])
+        sd[f'{qb}.cluster_size'] = np.asarray(rvq['cluster_size'][q])
+        sd[f'{qb}.embed_avg'] = np.asarray(rvq['embed_avg'][q])
+        sd[f'{qb}.inited'] = np.asarray(rvq['inited'][q])
+    sd[f'{base}.batch_norm.running_mean'] = np.asarray(sp['bn']['mean'])
+    sd[f'{base}.batch_norm.running_var'] = np.asarray(sp['bn']['var'])
+
+    tracker = KeyTracker(sd)
+    imported = import_conditioners(provider, tracker)
+    assert tracker.unused() == []
+    merged = merge_params(jax.tree.map(np.asarray, params),
+                          imported)['self_wav']
+    for key in ('embed', 'output_proj', 'bn'):
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(merged[key])[0]),
+            np.asarray(jax.tree.leaves(jax.tree.map(np.asarray,
+                                                    sp[key]))[0]))
+    got = merged['transformer']['layer0']['self_attn']['in_proj_weight']
+    np.testing.assert_array_equal(
+        got, np.asarray(sp['transformer']['layer0']['self_attn']
+                        ['in_proj_weight']))
+
+
+def test_facade_set_style_conditioner_params():
+    from audiocraft_tpu.builders import (get_debug_compression_model,
+                                         get_debug_musicgen_lm)
+    from audiocraft_tpu.cond.conditioners import ConditioningProvider
+    from audiocraft_tpu.cond.style_cond import StyleConditioner
+    from audiocraft_tpu.gen.musicgen import MusicGen
+
+    codec = get_debug_compression_model(32000)
+    lm, _ = get_debug_musicgen_lm()
+    style = StyleConditioner(feat_extractor=codec, output_dim=16,
+                             transformer_scale='none')
+    provider = ConditioningProvider.from_dict({'self_wav': style})
+    mg = MusicGen(name='style-test', compression_model=codec,
+                  codec_params={}, lm=lm, lm_params={},
+                  condition_provider=provider, cond_params={})
+    mg.set_style_conditioner_params(eval_q=5, excerpt_length=2.0)
+    updated = mg.condition_provider.as_dict['self_wav']
+    assert updated.eval_q == 5 and updated.length == 2.0
+
+    mg2 = MusicGen(name='plain', compression_model=codec, codec_params={},
+                   lm=lm, lm_params={},
+                   condition_provider=ConditioningProvider.from_dict({}),
+                   cond_params={})
+    with pytest.raises(RuntimeError):
+        mg2.set_style_conditioner_params()
