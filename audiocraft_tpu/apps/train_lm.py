@@ -1,0 +1,134 @@
+"""CLI: MusicGen LM training over EnCodec tokens (the role of the reference's
+stripped musicgen solver; delay-pattern masked cross-entropy with CFG
+dropout, data×model sharded over a GSPMD mesh).
+
+    python -m audiocraft_tpu.apps.train_lm DATA_DIR --codec-ckpt CKPT \
+        [--steps 100] [--batch 8] [--segment 2.0] [--ckpt out] [--debug]
+
+DATA_DIR may be a wav directory / jsonl manifest; ``--synthetic`` trains on
+random tokens (pipeline smoke test).  Audio batches are tokenized through the
+(frozen) codec on device, then the LM trains on the codes with
+classifier-free-guidance text dropout — the full reference training recipe
+(lm.py:270-321 compute_predictions + the solvers' CE) minus the corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('data', nargs='?', default=None)
+    parser.add_argument('--steps', type=int, default=50)
+    parser.add_argument('--batch', type=int, default=4)
+    parser.add_argument('--segment', type=float, default=2.0)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--cfg-dropout', type=float, default=0.1)
+    parser.add_argument('--ckpt', default=None)
+    parser.add_argument('--codec-ckpt', default=None,
+                        help='imported codec checkpoint dir (default: '
+                             'random debug codec)')
+    parser.add_argument('--debug', action='store_true',
+                        help='debug-size LM + codec')
+    parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument('--log-every', type=int, default=10)
+    args = parser.parse_args(argv)
+
+    import jax
+    from ..utils.misc import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..builders import (get_debug_compression_model,
+                            get_debug_musicgen_lm, get_musicgen_lm)
+    from ..ckpt.io import load_checkpoint, save_checkpoint
+    from ..cond.attributes import ClassifierFreeGuidanceDropout, \
+        ConditioningAttributes
+    from ..data.audio_dataset import AudioDataset
+    from ..dist.mesh import make_mesh
+    from ..dist.train import make_lm_train_step
+
+    # ---- models
+    if args.codec_ckpt:
+        codec, codec_params, _ = load_checkpoint(args.codec_ckpt)
+        codec_params = jax.tree.map(jnp.asarray, codec_params)
+    else:
+        codec = get_debug_compression_model(32000)
+        codec_params = codec.init(jax.random.PRNGKey(0))
+    if args.debug:
+        lm, provider = get_debug_musicgen_lm()
+    else:
+        lm, provider = get_musicgen_lm('small', n_q=codec.num_codebooks)
+    lm_params = lm.init(jax.random.PRNGKey(1))
+    cond_params = provider.init(jax.random.PRNGKey(2))
+
+    optimizer = optax.adamw(args.lr, b1=0.9, b2=0.95, weight_decay=0.1)
+    opt_state = optimizer.init(lm_params)
+
+    n_dev = jax.local_device_count()
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    repl = NamedSharding(mesh, P())
+    dsh = NamedSharding(mesh, P('data'))
+    lm_params = jax.device_put(lm_params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    codec_params = jax.device_put(codec_params, repl)
+    assert args.batch % n_dev == 0
+
+    # ---- data -> (wav batches, texts)
+    seg = int(args.segment * codec.sample_rate)
+    if args.synthetic or args.data is None:
+        rng = np.random.RandomState(0)
+
+        def batches():
+            while True:
+                yield ((rng.randn(args.batch, 1, seg) * 0.1)
+                       .astype(np.float32), ['synthetic'] * args.batch)
+    else:
+        ds = AudioDataset.from_path(args.data, segment_duration=args.segment,
+                                    sample_rate=codec.sample_rate, channels=1,
+                                    num_samples=args.steps * args.batch)
+        ds.start_epoch(0)
+
+        def batches():
+            while True:
+                for b in ds.iter_batches(args.batch, jax.process_index(),
+                                         jax.process_count()):
+                    yield b, [''] * args.batch
+    batch_iter = batches()
+
+    encode = jax.jit(lambda p, x: codec.encode(p, x)[0])
+    step_fn = jax.jit(make_lm_train_step(lm, optimizer),
+                      donate_argnums=(0, 1))
+    cfg_drop = ClassifierFreeGuidanceDropout(p=args.cfg_dropout)
+
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        wav, texts = next(batch_iter)
+        attrs = [ConditioningAttributes(text={'description': t})
+                 for t in texts]
+        attrs = cfg_drop(attrs)
+        tokenized = provider.tokenize(attrs)
+        cond_tensors = provider(cond_params, tokenized)
+        codes = encode(codec_params, jax.device_put(jnp.asarray(wav), dsh))
+        lm_params, opt_state, metrics = step_fn(lm_params, opt_state, codes,
+                                                cond_tensors)
+        if step % args.log_every == 0 or step == args.steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"step {step:5d}  ce {m['loss']:.4f}  "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    if args.ckpt:
+        save_checkpoint(args.ckpt,
+                        {'lm': lm, 'condition_provider': provider},
+                        {'lm': lm_params, 'condition_provider': cond_params},
+                        extra={'steps': args.steps})
+        print(f"saved checkpoint to {args.ckpt}")
+
+
+if __name__ == '__main__':
+    main()

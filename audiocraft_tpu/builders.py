@@ -156,17 +156,29 @@ def get_musicgen_lm(size: str = 'small', melody: bool = False,
     return lm, provider
 
 
-def get_musicgen(size: str = 'small', melody: bool = False, key=None):
+def get_musicgen(size: str = 'small', melody: bool = False,
+                 style: bool = False, stereo: bool = False, key=None):
     """Full MusicGen facade with the real architecture (random init; load
-    published weights through ckpt.torch_import when available)."""
+    published weights through ckpt.torch_import when available).
+
+    ``stereo=True`` builds the stereo-* variants of the pretrained map: the
+    mono codec wrapped in codebook interleaving (reference
+    builders.py:338-351), so the LM models 2x the codebooks (n_q=8) and the
+    facade decodes 2-channel audio.
+    """
     import jax
     from .gen.musicgen import MusicGen
 
     key = key if key is not None else jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    codec = get_encodec_32khz()
-    lm, provider = get_musicgen_lm(size, melody=melody)
-    name = f'musicgen-{"melody-" if melody else ""}{size}'
+    codec: tp.Any = get_encodec_32khz()
+    if stereo:
+        codec = get_wrapped_compression_model(codec, interleave_stereo=True)
+    lm, provider = get_musicgen_lm(size, melody=melody, style=style,
+                                   n_q=codec.num_codebooks)
+    variant = ("stereo-" if stereo else "") + \
+        ("melody-" if melody else "") + ("style-" if style else "")
+    name = f'musicgen-{variant}{size}'
     return MusicGen(name=name, compression_model=codec,
                     codec_params=codec.init(k1), lm=lm, lm_params=lm.init(k2),
                     condition_provider=provider, cond_params=provider.init(k3),

@@ -296,3 +296,25 @@ def test_history_gallery_html(tmp_path):
     assert "first tune" in html and "second tune" in html
     assert html.count("<audio") == 2
     assert "seed: 2" in html
+
+
+def test_train_lm_cli(tmp_path):
+    """LM training driver: CE decreases over synthetic steps and the
+    checkpoint bundle round-trips (the stripped musicgen solver's role)."""
+    import io as _io
+    import contextlib
+    from audiocraft_tpu.apps.train_lm import main as train_main
+    from audiocraft_tpu.ckpt.io import load_checkpoint
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        train_main(['--synthetic', '--debug', '--steps', '6', '--batch', '8',
+                    '--segment', '1.0', '--log-every', '1',
+                    '--ckpt', str(tmp_path / 'lm_ckpt')])
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.startswith('step')]
+    first = float(lines[0].split()[3])
+    last = float(lines[-1].split()[3])
+    assert last < first, (first, last)
+    bundle, params, _ = load_checkpoint(tmp_path / 'lm_ckpt')
+    assert bundle['lm'].card == 400
+    assert 'lm' in params and 'condition_provider' in params

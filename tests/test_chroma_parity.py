@@ -113,3 +113,19 @@ def test_extractor_pitch_classes_with_tuning():
     chroma = np.asarray(ex(jnp.asarray(wavs)))
     classes = chroma.mean(axis=1).argmax(axis=-1)
     assert list(classes) == expect
+
+
+def test_filterbank_matches_pinned_goldens():
+    """Regression pin: the filterbank values are frozen in tests/goldens so
+    any future change to the transcription is caught (librosa itself is not
+    installable here to regenerate an independent oracle)."""
+    import pathlib
+    path = pathlib.Path(__file__).parent / "goldens" / "chroma_fbank.npz"
+    if not path.exists():
+        pytest.skip("goldens not generated")
+    with np.load(path) as g:
+        np.testing.assert_allclose(chroma_filterbank(32000, 4096, 12),
+                                   g["fb_32k_4096_12"], atol=1e-7)
+        np.testing.assert_allclose(
+            chroma_filterbank(22050, 512, 12, tuning=0.25),
+            g["fb_22050_512_12_t025"], atol=1e-7)

@@ -54,3 +54,38 @@ def test_stride_extension_beyond_max_duration():
                               return_tokens=True)
     assert tokens.shape[-1] == int(5.0 * mg.frame_rate)
     assert wav.shape == (1, 1, 160000)
+
+
+def test_stereo_facade_generate():
+    """The stereo-* variant wiring: interleaved codec (2x codebooks) + an LM
+    over the doubled stream, producing 2-channel audio end to end."""
+    import dataclasses
+    from audiocraft_tpu.builders import (get_debug_compression_model,
+                                         get_wrapped_compression_model)
+    from audiocraft_tpu.cond.conditioners import (ConditioningProvider,
+                                                  LUTConditioner)
+    from audiocraft_tpu.cond.fuser import ConditionFuser
+    from audiocraft_tpu.gen.musicgen import MusicGen
+    from audiocraft_tpu.lm.model import LMModel
+    from audiocraft_tpu.patterns import DelayedPatternProvider
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    codec = get_wrapped_compression_model(get_debug_compression_model(32000),
+                                          interleave_stereo=True)
+    assert codec.num_codebooks == 8 and codec.channels == 2
+    provider = ConditioningProvider.from_dict({
+        'description': LUTConditioner(n_bins=64, dim=16, output_dim=16)})
+    lm = LMModel(pattern_provider=DelayedPatternProvider(8),
+                 fuser=ConditionFuser.from_dict({'cross': ('description',)}),
+                 n_q=8, card=400, dim=16, num_heads=4, num_layers=2,
+                 cross_attention=True, causal=True)
+    mg = MusicGen(name='musicgen-stereo-debug', compression_model=codec,
+                  codec_params=codec.init(k1), lm=lm, lm_params=lm.init(k2),
+                  condition_provider=provider, cond_params=provider.init(k3),
+                  max_duration=30.0)
+    mg.set_generation_params(duration=0.5)
+    wav = mg.generate(['stereo test'], key=jax.random.PRNGKey(5))
+    # duration quantizes to whole frames: int(0.5 * 25) = 12 -> 12 * 1280
+    assert np.asarray(wav).shape == (1, 2, 15360)
+    assert np.isfinite(np.asarray(wav)).all()
