@@ -166,3 +166,32 @@ def test_config_fields_match_reference():
     mel = provider_mel.as_dict['self_wav']
     assert mel.n_chroma == 12 and mel.radix2_exp == 12
     assert mel.sample_rate == 32000 and mel.duration == 30.0
+
+
+def test_real_shape_causal_24khz_parity():
+    """The causal streaming config (facebook/encodec_24khz: n_filters=32,
+    ratios [8,5,4,2], causal convs) at published shape: token parity."""
+    import torch
+    ref_seanet = ref_module("audiocraft.modules.seanet")
+    ref_vq = ref_module("audiocraft.quantization.vq")
+    ref_enc = ref_module("audiocraft.models.encodec")
+    torch.manual_seed(13)
+    kw = dict(channels=1, dimension=128, n_filters=32, n_residual_layers=1,
+              ratios=[8, 5, 4, 2], norm='weight_norm', lstm=2, causal=True)
+    ref = ref_enc.EncodecModel(
+        ref_seanet.SEANetEncoder(**kw), ref_seanet.SEANetDecoder(**kw),
+        ref_vq.ResidualVectorQuantizer(dimension=128, n_q=8, bins=1024),
+        frame_rate=75, sample_rate=24000, channels=1).eval()
+
+    from audiocraft_tpu.builders import get_encodec_24khz
+    from audiocraft_tpu.ckpt.torch_import import import_encodec
+    ours = get_encodec_24khz()
+    sd = {k: to_np(v) for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, import_encodec(ours, sd))
+
+    wav = np.random.RandomState(3).randn(1, 1, 24000).astype(np.float32) * 0.2
+    with torch.no_grad():
+        codes_ref = to_np(ref.encode(to_torch(wav))[0])
+    codes, _ = ours.encode(params, jnp.asarray(wav))
+    assert codes_ref.shape == (1, 8, 75)
+    assert (np.asarray(codes) == codes_ref).all()
