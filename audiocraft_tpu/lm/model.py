@@ -71,6 +71,10 @@ class LMModel:
     kv_repeat: int = 1
     activation: str = 'gelu'
     checkpointing: bool = False
+    # scan-over-layers decode/training (one layer body in the compiled
+    # program; see nn/transformer.py) — numerically identical, much faster
+    # XLA compiles for the deep production stacks
+    scan_layers: bool = False
 
     @property
     def special_token_id(self) -> int:
@@ -89,6 +93,7 @@ class LMModel:
             cross_attention=self.cross_attention, layer_scale=self.layer_scale,
             positional_embedding=self.positional_embedding,
             norm_first=self.norm_first, bias_ff=self.bias_ff,
+            scan_layers=self.scan_layers,
             bias_attn=self.bias_attn, qk_layer_norm=self.qk_layer_norm,
             qk_layer_norm_cross=self.qk_layer_norm_cross,
             kv_repeat=self.kv_repeat, activation=self.activation,
@@ -273,6 +278,11 @@ class LMModel:
                     lambda a: a.astype(compute_dtype)
                     if hasattr(a, 'dtype') and jnp.issubdtype(a.dtype, jnp.floating)
                     else a, condition_tensors)
+        if self.scan_layers:
+            # stack once, OUTSIDE the decode scan (stacking copies weights)
+            params = dict(params)
+            params['transformer'] = self.transformer.stack_params(
+                params['transformer'])
         if prompt is None:
             prompt = jnp.zeros((num_samples, self.num_codebooks, 0), jnp.int32)
         B, K, T = prompt.shape

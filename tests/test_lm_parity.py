@@ -209,3 +209,32 @@ def test_lm_double_cfg_runs():
     tokens = np.asarray(tokens)
     assert tokens.shape == (B, N_Q, max_gen_len)
     assert (tokens >= 0).all() and (tokens <= CARD).all()
+
+
+def test_scan_layers_matches_loop():
+    """scan-over-layers decode (one layer body in the program) is
+    token-identical to the unrolled loop, with and without prompts."""
+    import dataclasses
+    ref = _make_ref_lm()
+    ours = _make_our_lm()
+    params = _import(ref, ours)
+    ours_scan = dataclasses.replace(ours, scan_layers=True)
+    cond, mask = _cond(4)
+    ct = {"description": (jnp.asarray(cond), jnp.asarray(mask))}
+
+    la, _ = ours.forward(params, jnp.zeros((4, N_Q, 5), jnp.int32), ct)
+    lb, _ = ours_scan.forward(params, jnp.zeros((4, N_Q, 5), jnp.int32), ct)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+    for prompt_len in (0, 3):
+        prompt = (None if prompt_len == 0 else
+                  jnp.asarray(np.random.RandomState(1).randint(
+                      0, CARD, size=(2, N_Q, prompt_len))))
+        ta = ours.generate(params, jax.random.PRNGKey(3),
+                           prompt=prompt, condition_tensors=ct,
+                           num_samples=2, max_gen_len=9, use_sampling=False)
+        tb = ours_scan.generate(params, jax.random.PRNGKey(3),
+                                prompt=prompt, condition_tensors=ct,
+                                num_samples=2, max_gen_len=9,
+                                use_sampling=False)
+        assert (np.asarray(ta) == np.asarray(tb)).all()
