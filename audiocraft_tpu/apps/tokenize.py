@@ -112,9 +112,11 @@ def main(argv=None):
 
     codes = np.concatenate(all_codes, axis=0)
     if args.stats:
-        audio_sec = len(chunks) * args.batch_seconds
-        print(f"tokenized {audio_sec:.0f} audio-sec in {dt:.2f}s "
-              f"({audio_sec / dt:.0f} audio-sec/s)", file=sys.stderr)
+        from ..obs import Meter
+        meter = Meter(started=t0)
+        meter.add(audio_seconds=len(chunks) * args.batch_seconds,
+                  tokens=int(codes.size), items=len(chunks))
+        print(f"tokenize pipeline: {meter.report()}", file=sys.stderr)
 
     np.savez(args.out, codes=codes,
              meta=np.frombuffer(json.dumps(rows_meta).encode(), np.uint8))

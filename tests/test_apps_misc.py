@@ -318,3 +318,31 @@ def test_train_lm_cli(tmp_path):
     bundle, params, _ = load_checkpoint(tmp_path / 'lm_ckpt')
     assert bundle['lm'].card == 400
     assert 'lm' in params and 'condition_provider' in params
+
+
+def test_tokenize_cli(tmp_path, capsys):
+    """Batch tokenizer CLI: wav files -> npz token archive with obs stats."""
+    from audiocraft_tpu.apps.tokenize import main as tok_main
+    from audiocraft_tpu.builders import get_debug_compression_model
+    from audiocraft_tpu.ckpt.io import save_checkpoint
+    from audiocraft_tpu.io.wav import wav_write
+
+    model = get_debug_compression_model(32000)
+    params = model.init(jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(tmp_path / 'codec', model, params)
+
+    sr = 32000
+    wav = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+           ).astype(np.float32)[None]
+    for name in ('a.wav', 'b.wav'):
+        wav_write(wav, tmp_path / name, sr)
+
+    out = tmp_path / 'tok.npz'
+    tok_main([str(tmp_path / 'a.wav'), str(tmp_path / 'b.wav'),
+              '--out', str(out), '--checkpoint', str(ckpt),
+              '--batch-seconds', '1.0', '--batch-rows', '2', '--stats'])
+    with np.load(out) as z:
+        codes = z['codes']
+    assert codes.shape[0] == 2 and codes.shape[1] == 4
+    err = capsys.readouterr().err
+    assert 'tokenize pipeline:' in err and 'audio-sec' in err
