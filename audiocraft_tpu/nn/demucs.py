@@ -572,18 +572,50 @@ class HTDemucs:
 
     # ------------------------------------------------------------ inference
     def separate(self, params: dict, wav: jax.Array,
-                 sample_rate: tp.Optional[int] = None) -> jax.Array:
-        """Full-length separation: pad to the stride multiple, run the
-        graph, trim.  wav: [B, C, T] at the model's sample rate."""
+                 sample_rate: tp.Optional[int] = None,
+                 segment: tp.Optional[float] = None,
+                 overlap: float = 0.25) -> jax.Array:
+        """Separation with demucs' ``apply_model`` semantics: long audio runs
+        as overlapping ~``cfg.segment``-second windows blended with a
+        triangular transition weight (bounds memory and matches the
+        training receptive field); short audio runs in one pass.
+
+        wav: [B, C, T] at the model's sample rate -> [B, S, C, T].
+        """
         c = self.cfg
         B, ch, T = wav.shape
         if ch == 1 and c.audio_channels == 2:
             wav = jnp.tile(wav, (1, 2, 1))
         mult = 4 ** c.depth * 4
-        pad = (-T) % mult
-        wav = jnp.pad(wav, ((0, 0), (0, 0), (0, pad)))
-        stems = self(params, wav)
-        return stems[..., :T]
+        seg_len = int((segment or c.segment) * c.sample_rate)
+        seg_len += (-seg_len) % mult
+
+        if T <= seg_len:
+            pad = (-T) % mult
+            x = jnp.pad(wav, ((0, 0), (0, 0), (0, pad)))
+            return self(params, x)[..., :T]
+
+        stride = max(int(seg_len * (1 - overlap)), 1)
+        starts = list(range(0, T, stride))
+        # triangular blend weight (demucs' transition_power=1 window)
+        w = np.minimum(np.arange(1, seg_len + 1),
+                       np.arange(seg_len, 0, -1)).astype(np.float32)
+        w = jnp.asarray(w / w.max())
+        S = len(c.sources)
+        out = jnp.zeros((B, S, c.audio_channels, T + seg_len))
+        acc = jnp.zeros((T + seg_len,))
+        for start in starts:
+            chunk = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(wav, ((0, 0), (0, 0), (0, seg_len))), start, seg_len,
+                axis=-1)
+            stems = self(params, chunk)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, jax.lax.dynamic_slice_in_dim(out, start, seg_len, -1)
+                + stems * w, start, axis=-1)
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, jax.lax.dynamic_slice_in_dim(acc, start, seg_len, -1) + w,
+                start, axis=-1)
+        return (out / jnp.maximum(acc, 1e-8))[..., :T]
 
 
 def make_stem_fn(model: HTDemucs, params: dict, cond_sample_rate: int,

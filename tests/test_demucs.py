@@ -150,3 +150,22 @@ def test_stem_fn_chroma_integration(small_model):
     assert np.isfinite(np.asarray(filtered.wav)).all()
     embeds, mask = cond(cond.init(jax.random.PRNGKey(0)), filtered)
     assert np.isfinite(np.asarray(embeds)).all()
+
+
+def test_segmented_separation_matches_single_pass_in_overlap_free_case(
+        small_model):
+    """Long-audio segmented separation: finite, right shape, and blends to
+    the single-pass result where a single window covers everything."""
+    model, params = small_model
+    wav = jnp.asarray(np.random.RandomState(7).randn(1, 2, 8192)
+                      .astype(np.float32) * 0.1)
+    one = model.separate(params, wav)                      # single pass
+    seg = model.separate(params, wav, segment=8192 / 16000)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(one), atol=1e-5)
+
+    # genuinely segmented run over longer audio
+    long_wav = jnp.asarray(np.random.RandomState(8).randn(1, 2, 40960)
+                           .astype(np.float32) * 0.1)
+    stems = model.separate(params, long_wav, segment=0.6)
+    assert stems.shape == (1, 4, 2, 40960)
+    assert np.isfinite(np.asarray(stems)).all()
