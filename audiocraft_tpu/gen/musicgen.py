@@ -98,6 +98,15 @@ class MusicGen:
     def set_custom_progress_callback(self, cb) -> None:
         self._progress_callback = cb
 
+    def quantize_lm_weights(self) -> None:
+        """Weight-only int8 for the LM (PERF.md: decode is weight-streaming
+        bound; measured 982 vs 712 steps/s at MusicGen-small).  One-way;
+        embeddings/norms stay floating point and sampling-relevant logits
+        keep fp32 accumulation."""
+        from ..lm.quantize import quantize_lm_params
+        self.lm_params = quantize_lm_params(self.lm_params)
+        self.__dict__.pop('_gen_jit_cache', None)
+
     def set_style_conditioner_params(self, eval_q: int = 3,
                                      excerpt_length: float = 3.0,
                                      ds_factor: tp.Optional[int] = None,

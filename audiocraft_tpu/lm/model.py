@@ -160,9 +160,15 @@ class LMModel:
 
     def apply_heads(self, params: dict, out: jax.Array) -> jax.Array:
         """out: [B, S, dim] -> logits [B, K, S, card]."""
-        w = params['linears']['weight']  # [K, card, dim]
-        logits = jnp.einsum('bsd,kcd->bksc', out, w,
-                            preferred_element_type=jnp.float32)
+        w = params['linears']['weight']  # [K, card, dim] (or int8 {'q','s'})
+        if isinstance(w, dict) and 'q' in w:
+            logits = jnp.einsum('bsd,kcd->bksc', out,
+                                w['q'].astype(out.dtype),
+                                preferred_element_type=jnp.float32)
+            logits = logits * w['s'][None, :, None, :]
+        else:
+            logits = jnp.einsum('bsd,kcd->bksc', out, w,
+                                preferred_element_type=jnp.float32)
         if 'bias' in params['linears']:
             logits = logits + params['linears']['bias'][None, :, None, :]
         return logits

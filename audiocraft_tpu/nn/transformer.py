@@ -75,6 +75,28 @@ class KVCache:
                    index=jnp.zeros((), jnp.int32))
 
 
+
+def linear_w(x: jax.Array, w, bias=None, rows: tp.Optional[slice] = None
+             ) -> jax.Array:
+    """``x @ W[rows].T (+ bias)`` where W is a plain matrix or a weight-only
+    int8 quantized leaf ``{'q': int8 [out, in], 's': fp [out]}`` (per-output
+    -channel symmetric scales; see lm/quantize.py).  The int8 tensor is the
+    one streamed from HBM; the dequant is a fused convert + a cheap
+    per-output post-scale."""
+    if isinstance(w, dict) and 'q' in w:
+        q, sc = w['q'], w['s']
+        if rows is not None:
+            q, sc = q[rows], sc[rows]
+        y = x @ q.T.astype(x.dtype)
+        y = y * sc.astype(y.dtype)
+    else:
+        m = w if rows is None else w[rows]
+        y = x @ m.T
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamingMultiheadAttention:
     embed_dim: int
@@ -132,11 +154,10 @@ class StreamingMultiheadAttention:
         E = self.embed_dim
         w = params['in_proj_weight']
         b = params.get('in_proj_bias')
-        k = source @ w[E:2 * E].T
-        v = source @ w[2 * E:].T
-        if b is not None:
-            k = k + b[E:2 * E]
-            v = v + b[2 * E:]
+        k = linear_w(source, w, b[E:2 * E] if b is not None else None,
+                     rows=slice(E, 2 * E))
+        v = linear_w(source, w, b[2 * E:] if b is not None else None,
+                     rows=slice(2 * E, None))
         return (self._split_heads(k, self.num_heads),
                 self._split_heads(v, self.num_heads))
 
@@ -169,17 +190,21 @@ class StreamingMultiheadAttention:
         b = params.get('in_proj_bias')
 
         if self.cross_attention:
-            q = query @ w[:E].T + (b[:E] if b is not None else 0)
+            q = linear_w(query, w, b[:E] if b is not None else None,
+                         rows=slice(0, E))
             if self.qk_layer_norm:
                 q = layer_norm(q, **params['q_layer_norm'])
             if cross_kv is not None:
                 k, v = cross_kv
             else:
                 assert key is not None and value is not None
-                k = key @ w[E:2 * E].T + (b[E:2 * E] if b is not None else 0)
+                k = linear_w(key, w, b[E:2 * E] if b is not None else None,
+                             rows=slice(E, 2 * E))
                 if self.qk_layer_norm:
                     k = layer_norm(k, **params['k_layer_norm'])
-                v = value @ w[2 * E:].T + (b[2 * E:] if b is not None else 0)
+                v = linear_w(value, w,
+                             b[2 * E:] if b is not None else None,
+                             rows=slice(2 * E, None))
                 k = self._split_heads(k, self.num_heads)
                 v = self._split_heads(v, self.num_heads)
             if self.qk_layer_norm and cross_kv is not None:
@@ -188,13 +213,12 @@ class StreamingMultiheadAttention:
             q = self._split_heads(q, self.num_heads)
             out = self._attend(q, k, v, attn_mask)
             out = out.reshape(B, Tq, E)
-            o = out @ params['out_proj']['weight'].T
-            if 'bias' in params['out_proj']:
-                o = o + params['out_proj']['bias']
+            o = linear_w(out, params['out_proj']['weight'],
+                         params['out_proj'].get('bias'))
             return o, cache
 
         # self-attention: fused qkv projection (reference transformer.py:365-369)
-        projected = query @ w.T + (b if b is not None else 0)
+        projected = linear_w(query, w, b)
         kv_dim = self.head_dim * self.num_kv_heads
         q = projected[..., :E]
         k = projected[..., E:E + kv_dim]
@@ -250,9 +274,8 @@ class StreamingMultiheadAttention:
 
         out = self._attend(q, k, v, attn_mask)
         out = out.reshape(B, Tq, E)
-        o = out @ params['out_proj']['weight'].T
-        if 'bias' in params['out_proj']:
-            o = o + params['out_proj']['bias']
+        o = linear_w(out, params['out_proj']['weight'],
+                     params['out_proj'].get('bias'))
         return o, new_cache
 
 
@@ -324,14 +347,10 @@ class StreamingTransformerLayer:
 
     def _ff(self, params: dict, x: jax.Array) -> jax.Array:
         act = get_activation_fn(self.activation)
-        h = x @ params['linear1']['weight'].T
-        if 'bias' in params['linear1']:
-            h = h + params['linear1']['bias']
-        h = act(h)
-        y = h @ params['linear2']['weight'].T
-        if 'bias' in params['linear2']:
-            y = y + params['linear2']['bias']
-        return y
+        h = act(linear_w(x, params['linear1']['weight'],
+                         params['linear1'].get('bias')))
+        return linear_w(h, params['linear2']['weight'],
+                        params['linear2'].get('bias'))
 
     def _scale(self, params: dict, name: str, x: jax.Array) -> jax.Array:
         if self.layer_scale is None:

@@ -238,3 +238,38 @@ def test_scan_layers_matches_loop():
                                 num_samples=2, max_gen_len=9,
                                 use_sampling=False)
         assert (np.asarray(ta) == np.asarray(tb)).all()
+
+
+def test_int8_weight_only_quantization():
+    """Weight-only int8 (lm/quantize.py): logits near-identical at real
+    hidden width and greedy decode token-identical on the parity model."""
+    from audiocraft_tpu.lm.quantize import quantize_lm_params
+    ref = _make_ref_lm()
+    ours = _make_our_lm()
+    params = _import(ref, ours)
+    pq = quantize_lm_params(params)
+    cond, mask = _cond(4)
+    ct = {"description": (jnp.asarray(cond), jnp.asarray(mask))}
+    seq = jnp.asarray(np.random.RandomState(2).randint(
+        0, CARD, size=(4, N_Q, 6)))
+    la, _ = ours.forward(params, seq, ct)
+    lb, _ = ours.forward(pq, seq, ct)
+    rel = float(jnp.abs(la - lb).max() / jnp.abs(la).max())
+    assert rel < 0.02, rel
+    ta = ours.generate(params, jax.random.PRNGKey(3), condition_tensors=ct,
+                       num_samples=2, max_gen_len=9, use_sampling=False)
+    tb = ours.generate(pq, jax.random.PRNGKey(3), condition_tensors=ct,
+                       num_samples=2, max_gen_len=9, use_sampling=False)
+    assert (np.asarray(ta) == np.asarray(tb)).all()
+
+
+def test_facade_quantize_lm_weights():
+    from audiocraft_tpu.gen.musicgen import get_debug_musicgen
+    mg = get_debug_musicgen(jax.random.PRNGKey(0))
+    mg.set_generation_params(duration=0.5)
+    a = np.asarray(mg.generate(['quantize me'], key=jax.random.PRNGKey(2)))
+    mg.quantize_lm_weights()
+    w = mg.lm_params['transformer']['layer0']['self_attn']['in_proj_weight']
+    assert isinstance(w, dict) and w['q'].dtype == jnp.int8
+    b = np.asarray(mg.generate(['quantize me'], key=jax.random.PRNGKey(2)))
+    assert b.shape == a.shape and np.isfinite(b).all()
