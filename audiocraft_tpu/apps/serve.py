@@ -60,11 +60,14 @@ class GenerationService:
     """Model cache + request execution, separately testable from HTTP."""
 
     def __init__(self, default_model: str = 'debug',
-                 cache_dir: tp.Optional[str] = None):
+                 cache_dir: tp.Optional[str] = None,
+                 quantize: bool = False):
         self.default_model = default_model
         self.cache_dir = cache_dir
+        self.quantize = quantize
         self.lock = threading.Lock()
         self.current_name = default_model
+        self._quantized: set = set()
 
     def models(self) -> tp.List[str]:
         from ..ckpt.loaders import list_local_models
@@ -74,6 +77,10 @@ class GenerationService:
         from ..ckpt.loaders import load_model
         name = name or self.current_name
         model = load_model(name, self.cache_dir)
+        if self.quantize and name not in self._quantized:
+            # weight-only int8 decode (PERF.md: 1.38x over bf16)
+            model.quantize_lm_weights()
+            self._quantized.add(name)
         self.current_name = name
         return model
 
@@ -227,9 +234,12 @@ def main(argv=None):
     parser.add_argument('--host', default='127.0.0.1')
     parser.add_argument('--model', default='debug')
     parser.add_argument('--cache-dir', default=None)
+    parser.add_argument('--quantize', action='store_true',
+                        help='weight-only int8 LM decode (faster; see PERF.md)')
     args = parser.parse_args(argv)
 
-    service = GenerationService(args.model, args.cache_dir)
+    service = GenerationService(args.model, args.cache_dir,
+                                quantize=args.quantize)
     service._get_model(args.model)  # fail fast + warm the cache
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))

@@ -346,3 +346,16 @@ def test_tokenize_cli(tmp_path, capsys):
     assert codes.shape[0] == 2 and codes.shape[1] == 4
     err = capsys.readouterr().err
     assert 'tokenize pipeline:' in err and 'audio-sec' in err
+
+
+def test_serve_quantized_service(tmp_path):
+    from audiocraft_tpu.apps.serve import GenerationService
+    service = GenerationService('debug', cache_dir=str(tmp_path),
+                                quantize=True)
+    result = service.generate({'text': 'q tune', 'duration': 0.5, 'seed': 4})
+    assert np.isfinite(result['wav']).all()
+    from audiocraft_tpu.ckpt.loaders import _MODEL_CACHE, clear_model_cache
+    model = _MODEL_CACHE['debug']
+    w = model.lm_params['transformer']['layer0']['self_attn']['in_proj_weight']
+    assert isinstance(w, dict) and 'q' in w
+    clear_model_cache()
