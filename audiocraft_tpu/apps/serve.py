@@ -61,10 +61,11 @@ class GenerationService:
 
     def __init__(self, default_model: str = 'debug',
                  cache_dir: tp.Optional[str] = None,
-                 quantize: bool = False):
+                 quantize: tp.Union[bool, str] = False):
         self.default_model = default_model
         self.cache_dir = cache_dir
-        self.quantize = quantize
+        # False | 'int8' | 'int4' (True kept as an alias for 'int8')
+        self.quantize = 'int8' if quantize is True else quantize
         self.lock = threading.Lock()
         self.current_name = default_model
         self._quantized: set = set()
@@ -78,8 +79,8 @@ class GenerationService:
         name = name or self.current_name
         model = load_model(name, self.cache_dir)
         if self.quantize and name not in self._quantized:
-            # weight-only int8 decode (PERF.md: 1.38x over bf16)
-            model.quantize_lm_weights()
+            # weight-only int8/int4 decode (PERF.md: int8 is 1.38x over bf16)
+            model.quantize_lm_weights(mode=self.quantize)
             self._quantized.add(name)
         self.current_name = name
         return model
@@ -234,8 +235,10 @@ def main(argv=None):
     parser.add_argument('--host', default='127.0.0.1')
     parser.add_argument('--model', default='debug')
     parser.add_argument('--cache-dir', default=None)
-    parser.add_argument('--quantize', action='store_true',
-                        help='weight-only int8 LM decode (faster; see PERF.md)')
+    parser.add_argument('--quantize', nargs='?', const='int8', default=False,
+                        choices=['int8', 'int4'],
+                        help='weight-only quantized LM decode (faster; '
+                             'bare flag means int8; see PERF.md)')
     args = parser.parse_args(argv)
 
     service = GenerationService(args.model, args.cache_dir,

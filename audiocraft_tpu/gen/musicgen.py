@@ -98,13 +98,17 @@ class MusicGen:
     def set_custom_progress_callback(self, cb) -> None:
         self._progress_callback = cb
 
-    def quantize_lm_weights(self) -> None:
-        """Weight-only int8 for the LM (PERF.md: decode is weight-streaming
-        bound; measured 982 vs 712 steps/s at MusicGen-small).  One-way;
-        embeddings/norms stay floating point and sampling-relevant logits
-        keep fp32 accumulation."""
+    def quantize_lm_weights(self, mode: str = 'int8',
+                            group_size: int = 128) -> None:
+        """Weight-only quantization for the LM (PERF.md: decode is
+        weight-streaming bound; int8 measured 982 vs 712 steps/s at
+        MusicGen-small).  ``mode``: 'int8' (per-channel, near-lossless) or
+        'int4' (per-input-group, packed — halves the streamed bytes again at
+        coarser rounding).  One-way; embeddings/norms stay floating point and
+        sampling-relevant logits keep fp32 accumulation."""
         from ..lm.quantize import quantize_lm_params
-        self.lm_params = quantize_lm_params(self.lm_params)
+        self.lm_params = quantize_lm_params(self.lm_params, mode=mode,
+                                            group_size=group_size)
         self.__dict__.pop('_gen_jit_cache', None)
 
     def set_style_conditioner_params(self, eval_q: int = 3,

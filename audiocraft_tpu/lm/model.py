@@ -160,12 +160,23 @@ class LMModel:
 
     def apply_heads(self, params: dict, out: jax.Array) -> jax.Array:
         """out: [B, S, dim] -> logits [B, K, S, card]."""
-        w = params['linears']['weight']  # [K, card, dim] (or int8 {'q','s'})
+        w = params['linears']['weight']  # [K, card, dim] (or quantized leaf)
         if isinstance(w, dict) and 'q' in w:
             logits = jnp.einsum('bsd,kcd->bksc', out,
                                 w['q'].astype(out.dtype),
                                 preferred_element_type=jnp.float32)
             logits = logits * w['s'][None, :, None, :]
+        elif isinstance(w, dict) and 'q4p' in w:
+            from .quantize import unpack_int4
+            q = unpack_int4(w['q4p'])          # [K, card, D]
+            sc = w['s']                        # [K, card, G]
+            g = sc.shape[-1]
+            gs = q.shape[-1] // g
+            outg = out.reshape(*out.shape[:-1], g, gs)
+            qg = q.reshape(*q.shape[:-1], g, gs).astype(out.dtype)
+            t = jnp.einsum('bsgl,kcgl->bkscg', outg, qg,
+                           preferred_element_type=jnp.float32)
+            logits = jnp.einsum('bkscg,kcg->bksc', t, sc)
         else:
             logits = jnp.einsum('bsd,kcd->bksc', out, w,
                                 preferred_element_type=jnp.float32)

@@ -1,17 +1,30 @@
-"""Weight-only int8 quantization for LM decode.
+"""Weight-only int8 / int4 quantization for LM decode.
 
 Decode at small batch is weight-streaming bound (PERF.md: ~97% of HBM
-bandwidth in fp32), so halving/quartering the weight bytes is the remaining
-lever.  This module quantizes the transformer/head matrices to per-output-
-channel symmetric int8 ({'q': int8 [out, in], 's': fp32 [out]}); the
-matmul sites (nn/transformer.linear_w, lm apply_heads) dequantize with a
-fused convert + per-output post-scale, numerically
+bandwidth in fp32), so shrinking the weight bytes is the remaining lever.
+This module quantizes the transformer/head matrices; the matmul sites
+(nn/transformer.linear_w, lm apply_heads) dequantize with a fused convert +
+cheap post-scales.
 
-    y = (x @ q.T) * s  ==  x @ (q * s[:, None]).T  ~=  x @ W.T .
+Two formats (both opt-in, floating-point params untouched elsewhere):
+
+* int8 — per-output-channel symmetric, ``{'q': int8 [out, in], 's': fp32
+  [out]}``; ``y = (x @ q.T) * s``.  Greedy-token-identical on the parity
+  models, ~1% relative logit error (PERF.md).
+* int4 — per-(output, input-group) symmetric with group_size inputs per
+  scale, ``{'q4p': int8 [out, in/2], 's': fp32 [out, in/group]}``;
+  ``y[o] = sum_g s[o,g] * (x_g @ q4[o,g].T)``.  Nibbles are packed two per
+  int8 byte (low nibble = even input index) because ``jnp.int4`` arrays
+  cannot cross the jit boundary on this backend (device_put recursion bug);
+  the matmul sites unpack with two arithmetic shifts in-trace, so the tensor
+  streamed from HBM is still 0.5 byte/weight — half of int8 again, at
+  coarser rounding.  This is the standard weight-only-int4 recipe
+  (group-wise RTN, cf. AWQ/GPTQ literature) without activation-aware
+  calibration.
 
 Embeddings, norms, biases and layer scales stay in floating point (gathers /
-tiny tensors).  Opt-in: ``params_q = quantize_lm_params(params)`` then pass
-``params_q`` anywhere LM params are accepted.
+tiny tensors).  Opt-in: ``params_q = quantize_lm_params(params, mode=...)``
+then pass ``params_q`` anywhere LM params are accepted.
 """
 
 from __future__ import annotations
@@ -20,10 +33,6 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
-
-#: weight keys quantized inside each transformer layer subtree
-_MATRIX_KEYS = ('in_proj_weight',)
-_LINEAR_PARENTS = ('out_proj', 'linear1', 'linear2')
 
 
 def quantize_weight(w: jax.Array) -> tp.Dict[str, jax.Array]:
@@ -34,37 +43,104 @@ def quantize_weight(w: jax.Array) -> tp.Dict[str, jax.Array]:
     return {'q': q, 's': scale.astype(jnp.float32)}
 
 
-def _quantize_layer(layer: dict) -> dict:
+def pack_int4(q: jax.Array) -> jax.Array:
+    """int8 nibble values [..., n] (range [-8, 7]) -> packed [..., n/2].
+
+    Low nibble holds the even input index; `unpack_int4` is the exact
+    inverse (arithmetic shifts sign-extend both nibbles)."""
+    assert q.shape[-1] % 2 == 0, q.shape
+    lo = jnp.bitwise_and(q[..., 0::2], 0xF)
+    hi = jnp.left_shift(q[..., 1::2], 4)
+    return jnp.bitwise_or(lo, hi).astype(jnp.int8)
+
+
+def unpack_int4(p: jax.Array) -> jax.Array:
+    """Packed int4 pairs [..., n/2] -> int8 values [..., n]."""
+    lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+    hi = jnp.right_shift(p, 4)
+    return jnp.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
+                                                p.shape[-1] * 2)
+
+
+def quantize_weight_int4(w: jax.Array, group_size: int = 128
+                         ) -> tp.Dict[str, jax.Array]:
+    """[..., out, in] float -> {'q4p': packed int8 [..., out, in/2],
+    's': fp32 [..., out, in/group]}.
+
+    Symmetric round-to-nearest over input groups; range [-7, 7] (the -8 code
+    is unused to keep the grid symmetric).
+    """
+    w = jnp.asarray(w)
+    n_in = w.shape[-1]
+    assert n_in % 2 == 0, w.shape
+    if n_in % group_size:
+        # fall back to one group per row rather than pad
+        group_size = n_in
+    g = n_in // group_size
+    wg = w.reshape(*w.shape[:-1], g, group_size)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-1), 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale[..., None]), -7, 7)
+    q = q.reshape(w.shape).astype(jnp.int8)
+    return {'q4p': pack_int4(q), 's': scale.astype(jnp.float32)}
+
+
+def dequantize_weight(leaf) -> jax.Array:
+    """Inverse of either quantized format (reference implementation for
+    tests and non-matmul uses)."""
+    if 'q' in leaf:
+        return leaf['q'].astype(jnp.float32) * leaf['s'][..., None]
+    q = unpack_int4(leaf['q4p'])
+    s = leaf['s']
+    n_in = q.shape[-1]
+    g = s.shape[-1]
+    qg = q.astype(jnp.float32).reshape(*q.shape[:-1], g, n_in // g)
+    return (qg * s[..., None]).reshape(q.shape)
+
+
+def _quant_fn(mode: str, group_size: int):
+    if mode == 'int8':
+        return quantize_weight
+    if mode == 'int4':
+        return lambda w: quantize_weight_int4(w, group_size)
+    raise ValueError(f"unknown quantization mode: {mode!r}")
+
+
+def _quantize_layer(layer: dict, qfn) -> dict:
     out: dict = {}
     for key, value in layer.items():
         if key in ('self_attn', 'cross_attention'):
             sub = dict(value)
             if 'in_proj_weight' in sub:
-                sub['in_proj_weight'] = quantize_weight(sub['in_proj_weight'])
+                sub['in_proj_weight'] = qfn(sub['in_proj_weight'])
             if 'out_proj' in sub:
                 op = dict(sub['out_proj'])
-                op['weight'] = quantize_weight(op['weight'])
+                op['weight'] = qfn(op['weight'])
                 sub['out_proj'] = op
             out[key] = sub
         elif key in ('linear1', 'linear2'):
             sub = dict(value)
-            sub['weight'] = quantize_weight(sub['weight'])
+            sub['weight'] = qfn(sub['weight'])
             out[key] = sub
         else:
             out[key] = value
     return out
 
 
-def quantize_lm_params(params: dict) -> dict:
-    """LM param tree -> same tree with int8 transformer matrices + heads."""
+def quantize_lm_params(params: dict, mode: str = 'int8',
+                       group_size: int = 128) -> dict:
+    """LM param tree -> same tree with quantized transformer matrices + heads."""
+    qfn = _quant_fn(mode, group_size)
     out = dict(params)
-    tf = {name: _quantize_layer(layer)
+    tf = {name: _quantize_layer(layer, qfn)
           for name, layer in params['transformer'].items()}
     out['transformer'] = tf
     linears = dict(params['linears'])
     w = jnp.asarray(linears['weight'])              # [K, card, dim]
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-1), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w / scale[..., None]), -127, 127).astype(jnp.int8)
-    linears['weight'] = {'q': q, 's': scale.astype(jnp.float32)}
+    if mode == 'int8':
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-1), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(w / scale[..., None]), -127, 127).astype(jnp.int8)
+        linears['weight'] = {'q': q, 's': scale.astype(jnp.float32)}
+    else:
+        linears['weight'] = quantize_weight_int4(w, group_size)
     out['linears'] = linears
     return out

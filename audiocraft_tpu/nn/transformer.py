@@ -79,16 +79,33 @@ class KVCache:
 def linear_w(x: jax.Array, w, bias=None, rows: tp.Optional[slice] = None
              ) -> jax.Array:
     """``x @ W[rows].T (+ bias)`` where W is a plain matrix or a weight-only
-    int8 quantized leaf ``{'q': int8 [out, in], 's': fp [out]}`` (per-output
-    -channel symmetric scales; see lm/quantize.py).  The int8 tensor is the
-    one streamed from HBM; the dequant is a fused convert + a cheap
-    per-output post-scale."""
+    quantized leaf (see lm/quantize.py): int8 ``{'q': int8 [out, in], 's':
+    fp [out]}`` (per-output-channel symmetric) or int4 ``{'q4p': packed int8
+    [out, in/2], 's': fp [out, groups]}`` (per-input-group scales, two
+    nibbles per byte).  The integer tensor is the one streamed from HBM; the
+    dequant is a fused convert/unpack + cheap post-scales."""
     if isinstance(w, dict) and 'q' in w:
         q, sc = w['q'], w['s']
         if rows is not None:
             q, sc = q[rows], sc[rows]
         y = x @ q.T.astype(x.dtype)
         y = y * sc.astype(y.dtype)
+    elif isinstance(w, dict) and 'q4p' in w:
+        p, sc = w['q4p'], w['s']
+        if rows is not None:
+            p, sc = p[rows], sc[rows]
+        # unpack nibbles in-trace (int4 arrays can't cross the jit boundary
+        # on this backend); the streamed tensor stays 0.5 byte/weight
+        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+        hi = jnp.right_shift(p, 4)
+        q = jnp.stack([lo, hi], axis=-1)            # [out, in/2, 2]
+        o_dim, i_dim = p.shape[0], p.shape[1] * 2
+        g = sc.shape[-1]
+        xg = x.reshape(*x.shape[:-1], g, i_dim // g)
+        qg = q.reshape(o_dim, g, i_dim // g).astype(x.dtype)
+        t = jnp.einsum('...gl,ogl->...og', xg, qg,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum('...og,og->...o', t, sc).astype(x.dtype)
     else:
         m = w if rows is None else w[rows]
         y = x @ m.T

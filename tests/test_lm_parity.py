@@ -263,6 +263,53 @@ def test_int8_weight_only_quantization():
     assert (np.asarray(ta) == np.asarray(tb)).all()
 
 
+def test_int4_weight_only_quantization():
+    """Weight-only int4 with input-group scales (lm/quantize.py): matmul-site
+    dequant agrees with the explicit dequantized weights, logits stay within
+    the coarser int4 tolerance, decode produces valid tokens."""
+    from audiocraft_tpu.lm.quantize import (quantize_lm_params,
+                                            quantize_weight_int4,
+                                            dequantize_weight)
+    # leaf roundtrip error bound: symmetric RTN with 7 levels per side
+    w = jnp.asarray(np.random.RandomState(0).randn(16, 256).astype(np.float32))
+    leaf = quantize_weight_int4(w, group_size=64)
+    assert leaf['q4p'].dtype == jnp.int8 and leaf['q4p'].shape == (16, 128)
+    assert leaf['s'].shape == (16, 4)
+    # pack/unpack roundtrip is exact over the full nibble range
+    from audiocraft_tpu.lm.quantize import pack_int4, unpack_int4
+    vals = jnp.asarray(np.random.RandomState(7).randint(-8, 8, (5, 32)),
+                       jnp.int8)
+    assert (unpack_int4(pack_int4(vals)) == vals).all()
+    wd = dequantize_weight(leaf)
+    # max error <= half a step = s/2 per group
+    step = np.asarray(leaf['s'])
+    assert float(jnp.max(jnp.abs(wd - w) / step.repeat(64, -1))) <= 0.5 + 1e-3
+
+    # linear_w int4 path == x @ dequant(W).T
+    from audiocraft_tpu.nn.transformer import linear_w
+    x = jnp.asarray(np.random.RandomState(1).randn(3, 256).astype(np.float32))
+    ya = linear_w(x, leaf)
+    yb = x @ dequantize_weight(leaf).T
+    assert float(jnp.max(jnp.abs(ya - yb))) < 1e-3 * float(jnp.max(jnp.abs(yb)))
+
+    ref = _make_ref_lm()
+    ours = _make_our_lm()
+    params = _import(ref, ours)
+    pq = quantize_lm_params(params, mode='int4', group_size=64)
+    cond, mask = _cond(4)
+    ct = {"description": (jnp.asarray(cond), jnp.asarray(mask))}
+    seq = jnp.asarray(np.random.RandomState(2).randint(
+        0, CARD, size=(4, N_Q, 6)))
+    la, _ = ours.forward(params, seq, ct)
+    lb, _ = ours.forward(pq, seq, ct)
+    rel = float(jnp.abs(la - lb).max() / jnp.abs(la).max())
+    assert rel < 0.15, rel
+    tb = ours.generate(pq, jax.random.PRNGKey(3), condition_tensors=ct,
+                       num_samples=2, max_gen_len=9, use_sampling=False)
+    arr = np.asarray(tb)
+    assert arr.shape == (2, N_Q, 9) and (arr >= 0).all() and (arr < CARD).all()
+
+
 def test_facade_quantize_lm_weights():
     from audiocraft_tpu.gen.musicgen import get_debug_musicgen
     mg = get_debug_musicgen(jax.random.PRNGKey(0))
