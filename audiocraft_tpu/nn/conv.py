@@ -35,6 +35,7 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -144,6 +145,82 @@ def conv1d_im2col_mono(x: jax.Array, weight: jax.Array,
     cols = jnp.stack([flat[:, i:i + T] for i in range(k)], axis=1)  # [B,K,T]
     y = jnp.einsum('bkt,ck->bct', cols, weight[:, 0, :],
                    preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias[None, :, None].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv1d_banded_mono(x: jax.Array, weight: jax.Array,
+                       bias: tp.Optional[jax.Array], *,
+                       block: int = 128) -> jax.Array:
+    """Stride-1 mono conv as a banded-matrix matmul (pre-padded input).
+
+    x: [B, 1, T+K-1], weight [C_out, 1, K] -> [B, C_out, T].
+
+    XLA lowers the C_in=1 NCW conv ~7x off roofline (PERF.md): the
+    contraction is only K taps, far below the MXU's 128 tile.  Reformulate:
+    view time as lane-width rows ``x2 = xp.reshape(B, R+1, block)``, pair each
+    row with its successor ``uu[r] = x2[r] ++ x2[r+1]`` (every output at
+    ``t = r*block + l`` reads inputs ``t .. t+K-1``, i.e. columns
+    ``l .. l+K-1`` of the 2*block window), and contract with a banded weight
+    tensor ``bmat[c, m, l] = w[c, m-l]`` (zero outside the band).  The matmul
+    runs with contraction 2*block and N=block — ideal MXU shapes; the
+    2*block/K FLOP redundancy is free because the op is far from the compute
+    roofline.  The extra terms are multiplications by structural zeros; only
+    the fp32 summation order differs from the native conv (measured 3e-8
+    max diff on-chip).
+    """
+    k = weight.shape[-1]
+    c_out = weight.shape[0]
+    b = x.shape[0]
+    t_out = x.shape[-1] - (k - 1)
+    flat = x[:, 0, :]
+    rows = -(-t_out // block)
+    pad = (rows + 1) * block - flat.shape[-1]
+    xp = jnp.pad(flat, ((0, 0), (0, pad)))
+    x2 = xp.reshape(b, rows + 1, block)
+    uu = jnp.concatenate([x2[:, :rows, :], x2[:, 1:, :]], axis=-1)
+    # bmat[c, m, l] = weight[c, 0, m - l] on the band 0 <= m - l < k
+    m_idx = np.arange(2 * block)[:, None]
+    l_idx = np.arange(block)[None, :]
+    diag = m_idx - l_idx
+    band = jnp.asarray((diag >= 0) & (diag < k), x.dtype)
+    gather = jnp.asarray(np.clip(diag, 0, k - 1))
+    bmat = weight[:, 0, gather].astype(x.dtype) * band[None]
+    y = jnp.einsum('brm,cml->bcrl', uu, bmat,
+                   preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias[None, :, None, None].astype(jnp.float32)
+    return y.reshape(b, c_out, rows * block)[..., :t_out].astype(x.dtype)
+
+
+def conv1d_merged_rows(x: jax.Array, weight: jax.Array,
+                       bias: tp.Optional[jax.Array], stride: int) -> jax.Array:
+    """Strided conv with kernel == 2*stride as one dense matmul (pre-padded).
+
+    x: [B, C_in, T + s] (already carries the k - s = s pad), weight
+    [C_out, C_in, 2s] -> [B, C_out, T // s].  The downsample window for
+    output u covers inputs [s*u, s*u + 2s): merge s time steps into the
+    channel dim (``[B, U+1, s*C]``) and pair adjacent merged rows, giving a
+    single [U, 2*s*C_in] x [2*s*C_in, C_out] contraction — exactly the true
+    FLOPs, MXU-shaped.  SEANet's downsample convs (kernel = 2*ratio,
+    stride = ratio) all match this pattern.
+    """
+    s = stride
+    c_in = x.shape[1]
+    k = weight.shape[-1]
+    assert k == 2 * s, (k, s)
+    t_in = x.shape[-1]
+    assert t_in % s == 0, (t_in, s)
+    u_out = t_in // s - 1
+    xw = jnp.swapaxes(x, 1, 2)                       # [B, T+s, C]
+    x2 = xw.reshape(x.shape[0], t_in // s, s * c_in)  # [B, U+1, s*C]
+    uu = jnp.concatenate([x2[:, :-1, :], x2[:, 1:, :]], axis=-1)
+    # w2[(j, c), o] = weight[o, c, j] for tap j = slot within the 2s window
+    w2 = jnp.transpose(weight, (2, 1, 0)).reshape(2 * s * c_in, -1)
+    y = jnp.einsum('bum,mo->bou', uu, w2.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    assert y.shape[-1] == u_out
     if bias is not None:
         y = y + bias[None, :, None].astype(jnp.float32)
     return y.astype(x.dtype)

@@ -41,6 +41,7 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 try:  # pallas imports fail on some backends; the XLA fallback never needs them
     from jax.experimental import pallas as pl
@@ -399,6 +400,93 @@ def fused_encoder_apply(enc, params: dict, x: jax.Array, n_stages: int,
     if next_layer == 0:
         return None
     return jnp.swapaxes(xt, 1, 2), next_layer
+
+
+# ------------------------------------------------ banded mono conv kernel (v2)
+
+def _banded_conv_kernel(c_out: int, Rt: int, *refs):
+    """conv0 as one MXU matmul per tile.
+
+    ``uu[r] = xs[r] ++ xs[r+1]`` (lane concat) so every output at local
+    ``t = 128*r + l`` sees inputs ``t .. t+K-1`` inside its 256-lane window;
+    the banded weight matrix ``bflat[m, c*128+l] = w[c, m-l]`` turns the
+    K-tap conv into a dense [Rt,256] x [256, C*128] contraction — MXU-shaped,
+    unlike the K-deep contraction XLA lowers the native conv to.  Channel c's
+    block lands at lanes [c*128, (c+1)*128): 128-aligned lane slices store
+    straight into the NCW-tiled output with no relayout.
+
+    refs: [x2_hbm, bflat, bias, out_ref, xs, sem]
+    """
+    x2_hbm, bflat, bias, out_ref, xs, sem = refs
+    bidx = pl.program_id(0)
+    t = pl.program_id(1)
+    r0 = pl.multiple_of(t * Rt, 8)
+    cp = pltpu.make_async_copy(x2_hbm.at[bidx, pl.ds(r0, Rt + 8), :],
+                               xs.at[0:Rt + 8], sem)
+    cp.start()
+    cp.wait()
+    uu = jnp.concatenate([xs[0:Rt, :], xs[1:Rt + 1, :]], axis=1)
+    big = jax.lax.dot(uu, bflat[...], preferred_element_type=jnp.float32)
+    for c in range(c_out):
+        out_ref[0, c, :, :] = (big[:, c * 128:(c + 1) * 128]
+                               + bias[c]).astype(out_ref.dtype)
+
+
+def banded_mono_conv(x: jax.Array, weight: jax.Array, bias: jax.Array,
+                     tile_rows: int = 256, interpret: bool = False
+                     ) -> tp.Optional[jax.Array]:
+    """The encoder's first conv (C_in=1, stride 1) as a banded-matmul Pallas
+    kernel.  x: [B, 1, T+K-1] (pre-padded), weight [C_out, 1, K]
+    -> [B, C_out, T].  Returns None when ineligible; caller falls back.
+    """
+    if not _HAS_PALLAS:
+        return None
+    B, cin, Tp = x.shape
+    cout, _, k = weight.shape
+    T = Tp - (k - 1)
+    if cin != 1 or k >= 128 or T <= 0:
+        return None
+    R = -(-T // 128)                       # output rows of 128 samples
+    Rt = max(8, (min(tile_rows, max(R // 2, 8)) // 8) * 8)
+    R_pad = ((R + Rt - 1) // Rt) * Rt
+    n_tiles = R_pad // Rt
+
+    xf = x[:, 0, :]
+    tail = (R_pad + 8) * 128 - Tp
+    xp = jnp.concatenate([xf, jnp.zeros((B, tail), x.dtype)], axis=1)
+    x2 = xp.reshape(B, R_pad + 8, 128)
+
+    # bflat[m, c*128 + l] = w[c, m - l] on the band 0 <= m - l < k
+    m_idx = np.arange(256)[:, None]
+    l_idx = np.arange(128)[None, :]
+    diag = m_idx - l_idx
+    band = jnp.asarray((diag >= 0) & (diag < k), x.dtype)
+    gather = jnp.asarray(np.clip(diag, 0, k - 1))
+    bmat = weight[:, 0, gather].astype(x.dtype) * band[None]   # [C, 256, 128]
+    bflat = jnp.transpose(bmat, (1, 0, 2)).reshape(256, cout * 128)
+
+    kernel = functools.partial(_banded_conv_kernel, cout, Rt)
+    out4 = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, cout, Rt, 128),
+                               lambda bi, ti: (bi, 0, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, cout, R_pad, 128), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Rt + 8, 128), x.dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 256 * cout * 128 * R_pad * B,
+            bytes_accessed=(T + cout * T) * B * x.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, bflat, jnp.asarray(bias, jnp.float32))
+    return out4.reshape(B, cout, R_pad * 128)[..., :T]
 
 
 # ----------------------------------------------------- mono input conv kernel
