@@ -101,7 +101,8 @@ class EncodecModel:
     # -- core ---------------------------------------------------------------
     def encode(self, params: dict, x: jax.Array,
                compute_dtype: tp.Optional[tp.Any] = None,
-               fused: tp.Optional[bool] = None
+               fused: tp.Optional[bool] = None,
+               conv0_kernel: tp.Optional[bool] = None
                ) -> tp.Tuple[jax.Array, tp.Optional[jax.Array]]:
         """x: [B, C, T] float -> (codes [B, K, T_frames] int32, scale).
 
@@ -115,12 +116,19 @@ class EncodecModel:
         stage kernel (token-exact vs the XLA path on TPU).  Default off: on
         v5e the measured XLA conv path is currently faster (PERF.md) — the
         kernel is kept for larger-batch/multi-stage experiments.
+
+        ``conv0_kernel`` routes the mono input conv through the banded
+        Pallas kernel (PERF.md: XLA's C_in=1 conv runs ~2x off its memory
+        floor and can't be reformulated away in XLA — layout relayouts eat
+        the win).  Default off pending in-graph measurement.
         """
         assert x.ndim == 3
         if compute_dtype is None and self.compute_dtype is not None:
             compute_dtype = jnp.dtype(self.compute_dtype)
         if fused is None:
             fused = False
+        if conv0_kernel is None:
+            conv0_kernel = False
         x, scale = self.preprocess(x)
         enc_params = params['encoder']
         if compute_dtype is not None:
@@ -130,7 +138,8 @@ class EncodecModel:
             enc_params = cast(enc_params)
             x = x.astype(compute_dtype)
         emb = self.encoder(enc_params, x,
-                           fused_stages=2 if fused else 0).astype(jnp.float32)
+                           fused_stages=2 if fused else 0,
+                           conv0_kernel=conv0_kernel).astype(jnp.float32)
         codes = self.quantizer.encode(_q_state(self.quantizer, params['quantizer']), emb)
         return codes, scale
 

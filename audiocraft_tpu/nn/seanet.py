@@ -23,10 +23,12 @@ import dataclasses
 import typing as tp
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .activations import get_activation_fn
-from .conv import StreamableConv1d, StreamableConvTranspose1d
+from .conv import (StreamableConv1d, StreamableConvTranspose1d,
+                   get_extra_padding_for_conv1d, pad1d)
 from .lstm import StreamableLSTM
 
 
@@ -170,15 +172,23 @@ class SEANetEncoder:
         return params
 
     def __call__(self, params: dict, x: jax.Array, *,
-                 fused_stages: int = 0, interpret: bool = False) -> jax.Array:
+                 fused_stages: int = 0, conv0_kernel: bool = False,
+                 interpret: bool = False) -> jax.Array:
         """Forward [B, C, T] -> [B, dimension, T/hop].
 
         ``fused_stages > 0`` routes the first N downsampling stages through
         the fused Pallas kernel (ops/seanet_pallas.py) when the topology and
         shapes are eligible, falling back to the XLA stack otherwise.
+        ``conv0_kernel`` routes the mono input conv through the banded-matmul
+        Pallas kernel (XLA lowers the C_in=1 conv ~2x off its memory floor,
+        PERF.md); ineligible shapes fall back to the XLA conv.
         """
         act = _act(self.activation, {'alpha': self.activation_alpha})
         start = 0
+        if conv0_kernel and start == 0:
+            y = self._conv0_kernel(params, x, interpret=interpret)
+            if y is not None:
+                x, start = y, 1
         if fused_stages:
             from ..ops.seanet_pallas import fused_encoder_apply
             fused = fused_encoder_apply(self, params, x, fused_stages,
@@ -193,6 +203,33 @@ class SEANetEncoder:
             else:
                 x = mod(params[f'layer{i}'], x)
         return x
+
+    def _conv0_kernel(self, params: dict, x: jax.Array, *,
+                      interpret: bool = False) -> tp.Optional[jax.Array]:
+        """Input conv via ops/seanet_pallas.banded_mono_conv (None = fall
+        back).  Reproduces StreamableConv1d's exact padding, then hands the
+        pre-padded signal to the kernel."""
+        mod = self._layers()[0][1]
+        if (mod.in_channels != 1 or mod.stride != 1 or mod.dilation != 1
+                or mod.groups != 1 or mod.norm == 'time_group_norm'):
+            return None
+        from ..ops.seanet_pallas import banded_mono_conv
+        ks = mod.effective_kernel_size
+        padding_total = ks - mod.stride
+        extra = get_extra_padding_for_conv1d(x.shape[-1], ks, mod.stride,
+                                             padding_total)
+        if mod.causal:
+            pads = (padding_total, extra)
+        else:
+            pr = padding_total // 2
+            pads = (padding_total - pr, pr + extra)
+        xp = pad1d(x, pads, mode=mod.pad_mode)
+        p0 = params['layer0']
+        bias = p0.get('bias')
+        if bias is None:
+            bias = jnp.zeros((mod.out_channels,), jnp.float32)
+        return banded_mono_conv(xp, p0['weight'].astype(x.dtype), bias,
+                                interpret=interpret)
 
     def output_length(self, length: int) -> int:
         for kind, mod in self._layers():

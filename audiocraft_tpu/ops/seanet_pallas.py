@@ -404,37 +404,49 @@ def fused_encoder_apply(enc, params: dict, x: jax.Array, n_stages: int,
 
 # ------------------------------------------------ banded mono conv kernel (v2)
 
-def _banded_conv_kernel(c_out: int, Rt: int, *refs):
-    """conv0 as one MXU matmul per tile.
+def _banded_conv_kernel(R_pad: int, *refs):
+    """conv0 as two accumulated MXU matmuls per (batch, channel) grid cell.
 
-    ``uu[r] = xs[r] ++ xs[r+1]`` (lane concat) so every output at local
-    ``t = 128*r + l`` sees inputs ``t .. t+K-1`` inside its 256-lane window;
-    the banded weight matrix ``bflat[m, c*128+l] = w[c, m-l]`` turns the
-    K-tap conv into a dense [Rt,256] x [256, C*128] contraction — MXU-shaped,
-    unlike the K-deep contraction XLA lowers the native conv to.  Channel c's
-    block lands at lanes [c*128, (c+1)*128): 128-aligned lane slices store
-    straight into the NCW-tiled output with no relayout.
+    Every output at ``t = 128*r + l`` sees inputs ``t .. t+K-1`` inside the
+    256-sample window ``xs[r] ++ xs[r+1]``; the banded weight matrix
+    ``bflat[m, c*128+l] = w[c, m-l]`` turns the K-tap conv into a dense
+    MXU-shaped contraction, unlike the K-deep one XLA lowers the native conv
+    to.  The window concat itself doesn't lower (Mosaic can't concat
+    operands with mismatched sublane offsets), so the contraction is split
+    into the top/bottom 128 rows of the band: ``cur @ btop + nxt @ bbot``.
 
-    refs: [x2_hbm, bflat, bias, out_ref, xs, sem]
+    Grid = (B, C_out) with the FULL time range per cell: iterating time
+    tiles instead (v2/v3) made every output block a strided 64-chunk DMA
+    (one chunk per channel) and pinned the kernel at ~2x the write floor.
+    Here each cell's output block [1, 1, R_pad, 128] is one contiguous
+    stretch of the NCW-tiled output, and the input rows are DMA'd into
+    persistent scratch once per batch element (at c == 0 only).
+
+    The per-channel weight blocks arrive via BlockSpec index maps
+    (pipeline-cached); the bias is an SMEM scalar read.
+
+    refs: [x2_hbm, btop, bbot, bias_v, out_ref, xs, sem]
     """
-    x2_hbm, bflat, bias, out_ref, xs, sem = refs
+    x2_hbm, btop, bbot, bias_v, out_ref, xs, sem = refs
     bidx = pl.program_id(0)
-    t = pl.program_id(1)
-    r0 = pl.multiple_of(t * Rt, 8)
-    cp = pltpu.make_async_copy(x2_hbm.at[bidx, pl.ds(r0, Rt + 8), :],
-                               xs.at[0:Rt + 8], sem)
-    cp.start()
-    cp.wait()
-    uu = jnp.concatenate([xs[0:Rt, :], xs[1:Rt + 1, :]], axis=1)
-    big = jax.lax.dot(uu, bflat[...], preferred_element_type=jnp.float32)
-    for c in range(c_out):
-        out_ref[0, c, :, :] = (big[:, c * 128:(c + 1) * 128]
-                               + bias[c]).astype(out_ref.dtype)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _load():
+        cp = pltpu.make_async_copy(x2_hbm.at[bidx], xs, sem)
+        cp.start()
+        cp.wait()
+
+    cur = xs[0:R_pad, :]
+    nxt = xs[1:R_pad + 1, :]
+    acc = jax.lax.dot(cur, btop[...], preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot(nxt, bbot[...],
+                            preferred_element_type=jnp.float32)
+    out_ref[0, 0, :, :] = (acc + bias_v[c]).astype(out_ref.dtype)
 
 
 def banded_mono_conv(x: jax.Array, weight: jax.Array, bias: jax.Array,
-                     tile_rows: int = 256, interpret: bool = False
-                     ) -> tp.Optional[jax.Array]:
+                     interpret: bool = False) -> tp.Optional[jax.Array]:
     """The encoder's first conv (C_in=1, stride 1) as a banded-matmul Pallas
     kernel.  x: [B, 1, T+K-1] (pre-padded), weight [C_out, 1, K]
     -> [B, C_out, T].  Returns None when ineligible; caller falls back.
@@ -444,12 +456,17 @@ def banded_mono_conv(x: jax.Array, weight: jax.Array, bias: jax.Array,
     B, cin, Tp = x.shape
     cout, _, k = weight.shape
     T = Tp - (k - 1)
-    if cin != 1 or k >= 128 or T <= 0:
+    # T % 128 == 0 keeps the output exactly [B, C, R, 128] -> a free reshape
+    # to [B, C, T]; any padded tail would force XLA to copy 1.3 GB (b32) for
+    # the slice, which in-graph costs more than the kernel saves.
+    if cin != 1 or k >= 128 or T <= 0 or T % 128:
         return None
-    R = -(-T // 128)                       # output rows of 128 samples
-    Rt = max(8, (min(tile_rows, max(R // 2, 8)) // 8) * 8)
-    R_pad = ((R + Rt - 1) // Rt) * Rt
-    n_tiles = R_pad // Rt
+    R = T // 128                           # output rows of 128 samples
+    R_pad = ((R + 7) // 8) * 8             # scratch rows stay DMA-aligned
+    # VMEM budget: input rows + fp32 accumulator + double-buffered out block
+    if (R_pad + 8) * 128 * (x.dtype.itemsize + 4 + 2 * x.dtype.itemsize) \
+            > 96 * 1024 * 1024:
+        return None
 
     xf = x[:, 0, :]
     tail = (R_pad + 8) * 128 - Tp
@@ -464,29 +481,33 @@ def banded_mono_conv(x: jax.Array, weight: jax.Array, bias: jax.Array,
     gather = jnp.asarray(np.clip(diag, 0, k - 1))
     bmat = weight[:, 0, gather].astype(x.dtype) * band[None]   # [C, 256, 128]
     bflat = jnp.transpose(bmat, (1, 0, 2)).reshape(256, cout * 128)
+    btop, bbot = bflat[:128], bflat[128:]
 
-    kernel = functools.partial(_banded_conv_kernel, cout, Rt)
+    kernel = functools.partial(_banded_conv_kernel, R)
     out4 = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        grid=(B, cout),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((1, cout, Rt, 128),
-                               lambda bi, ti: (bi, 0, ti, 0),
+                  pl.BlockSpec((128, 128), lambda bi, c: (0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, cout, R_pad, 128), x.dtype),
-        scratch_shapes=[pltpu.VMEM((Rt + 8, 128), x.dtype),
+                  pl.BlockSpec((128, 128), lambda bi, c: (0, c),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 1, R, 128),
+                               lambda bi, c: (bi, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, cout, R, 128), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R_pad + 8, 128), x.dtype),
                         pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 256 * cout * 128 * R_pad * B,
+            flops=2 * 256 * cout * 128 * R * B,
             bytes_accessed=(T + cout * T) * B * x.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x2, bflat, jnp.asarray(bias, jnp.float32))
-    return out4.reshape(B, cout, R_pad * 128)[..., :T]
+    )(x2, btop, bbot, jnp.asarray(bias, jnp.float32))
+    return out4.reshape(B, cout, T)
 
 
 # ----------------------------------------------------- mono input conv kernel

@@ -174,3 +174,37 @@ def test_mono_input_conv_nondivisible_length():
     ref = mod0(p0, x)
     assert _rel_err(out, ref) < 1e-2
     assert _rel_err(out[..., -16:], ref[..., -16:]) < 1e-2
+
+
+def test_banded_mono_conv_parity():
+    """Banded-matmul conv0 kernel (v2, (B,C) grid) vs the XLA module conv
+    (bf16, interpret), including the encoder conv0_kernel=True route."""
+    from audiocraft_tpu.ops.seanet_pallas import banded_mono_conv
+    from audiocraft_tpu.nn.conv import pad1d
+    enc = SEANetEncoder(channels=1, dimension=16, n_filters=64,
+                        n_residual_layers=1, ratios=(8, 5, 4, 4),
+                        norm='none', lstm=0)
+    params = enc.init(jax.random.PRNGKey(13))
+    mod0 = enc._layers()[0][1]
+    p0 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params['layer0'])
+    T = 128 * 25  # R = 25: not a multiple of 8 (exercises scratch padding)
+    x = jnp.asarray(np.random.RandomState(8).randn(2, 1, T) * 0.4,
+                    jnp.bfloat16)
+    xp = pad1d(x, (3, 3), mode='reflect')
+    out = banded_mono_conv(xp, p0['weight'], p0['bias'], interpret=True)
+    assert out is not None and out.shape == (2, 64, T)
+    ref = mod0(p0, x)
+    assert _rel_err(out, ref) < 1e-2
+    assert _rel_err(out[..., :8], ref[..., :8]) < 1e-2       # reflect edges
+    assert _rel_err(out[..., -8:], ref[..., -8:]) < 1e-2
+
+    # ineligible: T not a lane multiple (would force a 1.3 GB slice copy)
+    assert banded_mono_conv(jnp.zeros((1, 1, 106), jnp.bfloat16),
+                            p0['weight'], p0['bias'], interpret=True) is None
+
+    # full-encoder route falls back cleanly and stays numerically equal
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    y_k = enc(p16, x, conv0_kernel=True, interpret=True)
+    y_ref = enc(p16, x)
+    assert y_k.shape == y_ref.shape
+    assert _rel_err(y_k, y_ref) < 3e-2
