@@ -166,9 +166,12 @@ class LMModel:
                                 w['q'].astype(out.dtype),
                                 preferred_element_type=jnp.float32)
             logits = logits * w['s'][None, :, None, :]
-        elif isinstance(w, dict) and 'q4p' in w:
-            from .quantize import unpack_int4
-            q = unpack_int4(w['q4p'])          # [K, card, D]
+        elif isinstance(w, dict) and ('q4' in w or 'q4p' in w):
+            if 'q4' in w:
+                q = w['q4']                    # [K, card, D] int4 (prepared)
+            else:
+                from .quantize import unpack_int4
+                q = unpack_int4(w['q4p'])      # [K, card, D]
             sc = w['s']                        # [K, card, G]
             g = sc.shape[-1]
             gs = q.shape[-1] // g
@@ -300,6 +303,8 @@ class LMModel:
             params = dict(params)
             params['transformer'] = self.transformer.stack_params(
                 params['transformer'])
+        from .quantize import prepare_for_decode
+        params = prepare_for_decode(params)
         if prompt is None:
             prompt = jnp.zeros((num_samples, self.num_codebooks, 0), jnp.int32)
         B, K, T = prompt.shape

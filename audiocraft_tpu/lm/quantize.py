@@ -97,6 +97,28 @@ def dequantize_weight(leaf) -> jax.Array:
     return (qg * s[..., None]).reshape(q.shape)
 
 
+def prepare_for_decode(params):
+    """Convert packed-int4 leaves ``{'q4p', 's'}`` to in-trace native-int4
+    leaves ``{'q4': jnp.int4 [out, in], 's'}``.
+
+    Call once at the top of a traced generate/forward, OUTSIDE the decode
+    scan: the nibble interleave is a lane shuffle that must not run per step
+    (measured ~8 ms/step when left inside the scan body), while the int4
+    result is scan-invariant, so XLA materializes it once and the decode
+    steps stream 0.5 byte/weight with a dot-fused convert — the same shape
+    of win as the int8 path.  jnp.int4 itself cannot cross the jit boundary
+    on this backend, which is why the stored format is packed int8.
+    No-op on trees without quantized leaves."""
+    def walk(node):
+        if isinstance(node, dict):
+            if 'q4p' in node:
+                return {'q4': unpack_int4(node['q4p']).astype(jnp.int4),
+                        's': node['s']}
+            return {k: walk(v) for k, v in node.items()}
+        return node
+    return walk(params)
+
+
 def _quant_fn(mode: str, group_size: int):
     if mode == 'int8':
         return quantize_weight

@@ -90,16 +90,22 @@ def linear_w(x: jax.Array, w, bias=None, rows: tp.Optional[slice] = None
             q, sc = q[rows], sc[rows]
         y = x @ q.T.astype(x.dtype)
         y = y * sc.astype(y.dtype)
-    elif isinstance(w, dict) and 'q4p' in w:
-        p, sc = w['q4p'], w['s']
+    elif isinstance(w, dict) and ('q4' in w or 'q4p' in w):
+        if 'q4' in w:
+            # prepared form (lm/quantize.prepare_for_decode): native int4,
+            # scan-invariant -> streamed at 0.5 byte/weight, convert fuses
+            # into the dot like the int8 path
+            q, sc = w['q4'], w['s']
+        else:
+            # fallback for un-prepared calls: unpack nibbles in place
+            p, sc = w['q4p'], w['s']
+            lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
+            hi = jnp.right_shift(p, 4)
+            q = jnp.stack([lo, hi], axis=-1).reshape(p.shape[0],
+                                                     p.shape[1] * 2)
         if rows is not None:
-            p, sc = p[rows], sc[rows]
-        # unpack nibbles in-trace (int4 arrays can't cross the jit boundary
-        # on this backend); the streamed tensor stays 0.5 byte/weight
-        lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
-        hi = jnp.right_shift(p, 4)
-        q = jnp.stack([lo, hi], axis=-1)            # [out, in/2, 2]
-        o_dim, i_dim = p.shape[0], p.shape[1] * 2
+            q, sc = q[rows], sc[rows]
+        o_dim, i_dim = q.shape
         g = sc.shape[-1]
         xg = x.reshape(*x.shape[:-1], g, i_dim // g)
         qg = q.reshape(o_dim, g, i_dim // g).astype(x.dtype)
