@@ -144,10 +144,26 @@ class EncodecModel:
         return codes, scale
 
     def decode(self, params: dict, codes: jax.Array,
-               scale: tp.Optional[jax.Array] = None) -> jax.Array:
-        """codes: [B, K, T_frames] -> waveform [B, C, T] (includes padding)."""
+               scale: tp.Optional[jax.Array] = None,
+               compute_dtype: tp.Optional[tp.Any] = None) -> jax.Array:
+        """codes: [B, K, T_frames] -> waveform [B, C, T] (includes padding).
+
+        ``compute_dtype`` mirrors :meth:`encode`: when not passed, the
+        model's ``compute_dtype`` field applies (fp32 parity default; the
+        production builders set bf16, which the quantization noise of the
+        codec itself dwarfs).  The codebook lookup stays fp32; the waveform
+        returns as fp32 either way.
+        """
         emb = self.decode_latent(params, codes)
-        out = self.decoder(params['decoder'], emb)
+        if compute_dtype is None and self.compute_dtype is not None:
+            compute_dtype = jnp.dtype(self.compute_dtype)
+        dec_params = params['decoder']
+        if compute_dtype is not None:
+            dec_params = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, dec_params)
+            emb = emb.astype(compute_dtype)
+        out = self.decoder(dec_params, emb).astype(jnp.float32)
         return self.postprocess(out, scale)
 
     def decode_latent(self, params: dict, codes: jax.Array) -> jax.Array:
