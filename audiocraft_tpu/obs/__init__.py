@@ -26,6 +26,38 @@ import numpy as np
 # dense v5e peaks used for roofline reporting (PERF.md)
 TPU_V5E_PEAK_BF16_TFLOPS = 197.0
 TPU_V5E_PEAK_HBM_GBS = 819.0
+# measured on this chip with trivial elementwise ops (scripts/perf_hbm_floor
+# .py; PERF.md "Effective HBM bandwidth"): what real programs can reach
+TPU_V5E_EFFECTIVE_COPY_GBS = 330.0     # read+write streaming
+TPU_V5E_EFFECTIVE_WRITE_GBS = 193.0    # write-dominated
+
+
+def effective_bandwidth_probe(size_mb: int = 1024, iters: int = 8
+                              ) -> tp.Dict[str, float]:
+    """Measure THIS chip's effective HBM bandwidth (GB/s) with a chained
+    elementwise copy and a full reduce.  Spec sheets overstate what XLA
+    programs reach (819 vs 190-330 measured on v5e behind the axon tunnel,
+    depending on array shape: this probe's tall [N,128] measures ~193 copy,
+    the encoder-shaped [32,64,320000] ~329 — see scripts/perf_hbm_floor.py);
+    memory-floor estimates must use numbers like these, not the spec."""
+    import jax
+    import jax.numpy as jnp
+    n = size_mb * 1024 * 1024 // 2
+    xs = [jnp.arange(n, dtype=jnp.bfloat16).reshape(n // 128, 128) * (i + 1)
+          for i in range(2)]
+
+    def copy_step(c, x):
+        y = x + c.astype(x.dtype) + jnp.bfloat16(1.0)
+        return y, jnp.sum(y[:8, :].astype(jnp.float32))
+
+    def reduce_step(c, x):
+        return None, jnp.sum(x.astype(jnp.float32)) + c
+
+    dt_c, _ = chained_throughput(copy_step, xs, iters=iters)
+    dt_r, _ = chained_throughput(reduce_step, xs, iters=iters)
+    nbytes = n * 2
+    return {'copy_gbs': 2 * nbytes / dt_c / 1e9,
+            'reduce_gbs': nbytes / dt_r / 1e9}
 
 
 def chained_throughput(step_fn: tp.Callable, inputs: tp.Sequence,
