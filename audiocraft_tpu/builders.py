@@ -156,6 +156,35 @@ def get_musicgen_lm(size: str = 'small', melody: bool = False,
     return lm, provider
 
 
+def get_magnet_lm(size: str = 'small', n_q: int = 4, card: int = 2048,
+                  segment_duration: int = 10):
+    """MAGNeT LM config for the published model sizes (reference
+    magnet.py:30-58 pretrained map — small 300M / medium 1.5B at 10 s or
+    30 s — and loaders.py:217-240 cfg plumbing: span_len/segment_duration
+    from the masking/dataset cfg, subcodes_context=5, non-causal)."""
+    from .cond.conditioners import ConditioningProvider, T5Conditioner
+    from .cond.fuser import ConditionFuser
+    from .lm.magnet import MagnetLMModel
+    from .patterns import ParallelPatternProvider
+
+    shape = _MUSICGEN_SIZES[size]
+    provider = ConditioningProvider.from_dict({
+        'description': T5Conditioner(name='t5-base', output_dim=shape['dim']),
+    })
+    fuser = ConditionFuser.from_dict({'cross': ('description',)})
+    lm = MagnetLMModel(
+        pattern_provider=ParallelPatternProvider(n_q), fuser=fuser,
+        n_q=n_q, card=card, hidden_scale=4, norm_first=True,
+        bias_proj=False, bias_ff=False, bias_attn=False,
+        cross_attention=True, causal=False, activation='gelu',
+        positional_embedding='sin', weight_init='gaussian',
+        depthwise_init='current', zero_bias_init=True,
+        subcodes_context=5, span_len=3,
+        compression_model_framerate=50,
+        segment_duration=segment_duration, **shape)
+    return lm, provider
+
+
 def get_musicgen(size: str = 'small', melody: bool = False,
                  style: bool = False, stereo: bool = False, key=None):
     """Full MusicGen facade with the real architecture (random init; load

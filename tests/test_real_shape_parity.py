@@ -195,3 +195,23 @@ def test_real_shape_causal_24khz_parity():
     codes, _ = ours.encode(params, jnp.asarray(wav))
     assert codes_ref.shape == (1, 8, 75)
     assert (np.asarray(codes) == codes_ref).all()
+
+
+def test_get_magnet_lm_config_fields():
+    """get_magnet_lm mirrors the published MAGNeT configs (reference
+    magnet.py:30-58, loaders.py:217-240): MusicGen-size transformer,
+    non-causal, parallel pattern, span/context from the masking cfg."""
+    from audiocraft_tpu.builders import get_magnet_lm, _MUSICGEN_SIZES
+    lm, provider = get_magnet_lm('small')
+    assert lm.dim == _MUSICGEN_SIZES['small']['dim']
+    assert lm.num_layers == _MUSICGEN_SIZES['small']['num_layers']
+    assert lm.causal is False
+    assert lm.span_len == 3 and lm.subcodes_context == 5
+    assert lm.compression_model_framerate == 50
+    assert lm.segment_duration == 10
+    assert lm.card == 2048 and lm.n_q == 4
+    assert type(lm.pattern_provider).__name__ == 'ParallelPatternProvider'
+    assert 'description' in dict(provider.conditioners)
+    lm30, _ = get_magnet_lm('medium', segment_duration=30)
+    assert lm30.segment_duration == 30
+    assert lm30.dim == _MUSICGEN_SIZES['medium']['dim']
