@@ -47,12 +47,63 @@ def lstm_layer(x_tbc: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
     return ys
 
 
+def lstm_2layer_pipelined(x_tbc: jax.Array, p0: dict, p1: dict) -> jax.Array:
+    """Two stacked LSTM layers as ONE software-pipelined scan.
+
+    The stacked recurrence h2[t] <- h1[t] <- h1[t-1] does not require layer 2
+    to wait for the whole layer-1 sequence: at scan iteration t, cell 1
+    processes input t while cell 2 processes cell 1's output from iteration
+    t-1 (classic systolic skew).  One scan of T+1 iterations replaces two
+    scans of T — the per-iteration fixed costs (op issue, carry plumbing)
+    are paid once instead of twice.
+
+    Measured on v5e (scripts/perf_lstm.py): bit-exact vs the sequential
+    path but SLOWER (b32 10.46 vs 9.27 ms, b128 19.49 vs 18.75) — moving
+    layer 2's input projection from one hoisted [T*B,4H] matmul into T
+    per-step [B,4H] matmuls costs more than the saved scan overhead.  Kept
+    opt-in (``pipelined=True``) as the starting point for deeper skewing
+    (e.g. chunked multi-step cells).
+
+    Per-cell math is identical to ``lstm_layer`` (layer 1's input projection
+    stays hoisted; layer 2's moves into the scan as a [B,H]x[H,4H] matmul
+    whose contraction order matches the hoisted einsum).  Iteration 0's
+    cell-2 update is masked so its state still starts from exact zeros.
+    """
+    T, B, _ = x_tbc.shape
+    H = p0['w_hh'].shape[1]
+    gx1 = jnp.einsum('tbc,gc->tbg', x_tbc, p0['w_ih']) \
+        + (p0['b_ih'] + p0['b_hh'])
+    gx1 = jnp.concatenate([gx1, jnp.zeros((1, B, 4 * H), gx1.dtype)], axis=0)
+    first = jnp.arange(T + 1) == 0
+    b2 = p1['b_ih'] + p1['b_hh']
+
+    def cell(gates, c):
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        cn = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        return jax.nn.sigmoid(o) * jnp.tanh(cn), cn
+
+    def step(carry, inp):
+        gx, is_first = inp
+        h1, c1, h2, c2, h1p = carry
+        h1n, c1n = cell(gx + h1 @ p0['w_hh'].T, c1)
+        gates2 = (h1p @ p1['w_ih'].T + b2) + h2 @ p1['w_hh'].T
+        h2n, c2n = cell(gates2, c2)
+        h2n = jnp.where(is_first, h2, h2n)
+        c2n = jnp.where(is_first, c2, c2n)
+        return (h1n, c1n, h2n, c2n, h1n), h2n
+
+    z = jnp.zeros((B, H), x_tbc.dtype)
+    _, ys = lax.scan(step, (z, z, z, z, z), (gx1, first))
+    return ys[1:]
+
+
 @dataclasses.dataclass(frozen=True)
 class StreamableLSTM:
     """LSTM over convolutional layout [B, C, T] with skip connection."""
     dimension: int
     num_layers: int = 2
     skip: bool = True
+    pipelined: bool = False  # opt-in: one skewed scan (measured slower)
 
     def init(self, key: jax.Array) -> dict:
         params = {}
@@ -73,9 +124,12 @@ class StreamableLSTM:
         # [B, C, T] -> [T, B, C]
         y = jnp.transpose(x, (2, 0, 1))
         inp = y
-        for layer in range(self.num_layers):
-            p = params[f'l{layer}']
-            y = lstm_layer(y, p['w_ih'], p['w_hh'], p['b_ih'], p['b_hh'])
+        if self.pipelined and self.num_layers == 2:
+            y = lstm_2layer_pipelined(y, params['l0'], params['l1'])
+        else:
+            for layer in range(self.num_layers):
+                p = params[f'l{layer}']
+                y = lstm_layer(y, p['w_ih'], p['w_hh'], p['b_ih'], p['b_hh'])
         if self.skip:
             y = y + inp
         return jnp.transpose(y, (1, 2, 0))
