@@ -68,20 +68,31 @@ class GenerationService:
         self.quantize = 'int8' if quantize is True else quantize
         self.lock = threading.Lock()
         self.current_name = default_model
-        self._quantized: set = set()
 
     def models(self) -> tp.List[str]:
         from ..ckpt.loaders import list_local_models
         return list_local_models(self.cache_dir)
 
+    @staticmethod
+    def _lm_is_quantized(model) -> bool:
+        """True if any LM weight leaf is already in a quantized format.
+        Inspecting the params (not a name set) stays correct when the
+        loader's LRU cache evicts and rebuilds a model."""
+        def walk(node):
+            if isinstance(node, dict):
+                if 'q' in node or 'q4p' in node:
+                    return True
+                return any(walk(v) for v in node.values())
+            return False
+        return walk(model.lm_params)
+
     def _get_model(self, name: tp.Optional[str]):
         from ..ckpt.loaders import load_model
         name = name or self.current_name
         model = load_model(name, self.cache_dir)
-        if self.quantize and name not in self._quantized:
+        if self.quantize and not self._lm_is_quantized(model):
             # weight-only int8/int4 decode (PERF.md: int8 is 1.38x over bf16)
             model.quantize_lm_weights(mode=self.quantize)
-            self._quantized.add(name)
         self.current_name = name
         return model
 

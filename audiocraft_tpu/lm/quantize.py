@@ -107,8 +107,16 @@ def prepare_for_decode(params):
     result is scan-invariant, so XLA materializes it once and the decode
     steps stream 0.5 byte/weight with a dot-fused convert — the same shape
     of win as the int8 path.  jnp.int4 itself cannot cross the jit boundary
-    on this backend, which is why the stored format is packed int8.
+    on this backend, which is why the stored format is packed int8 — and
+    why the conversion only happens when the params are TRACERS (inside a
+    jit): eager conversion would materialize int4 device arrays that hit
+    the device_put recursion bug on the next traced op.  Eager callers keep
+    the packed format; the matmul sites carry an in-place unpack fallback.
     No-op on trees without quantized leaves."""
+    if not any(isinstance(x, jax.core.Tracer)
+               for x in jax.tree.leaves(params)):
+        return params
+
     def walk(node):
         if isinstance(node, dict):
             if 'q4p' in node:

@@ -185,11 +185,13 @@ class SEANetEncoder:
         """
         act = _act(self.activation, {'alpha': self.activation_alpha})
         start = 0
-        if conv0_kernel and start == 0:
+        if conv0_kernel:
             y = self._conv0_kernel(params, x, interpret=interpret)
             if y is not None:
                 x, start = y, 1
-        if fused_stages:
+        # the fused stage kernel runs its own input conv on the RAW signal —
+        # incompatible with a conv0 already applied above
+        if fused_stages and start == 0:
             from ..ops.seanet_pallas import fused_encoder_apply
             fused = fused_encoder_apply(self, params, x, fused_stages,
                                         interpret=interpret)

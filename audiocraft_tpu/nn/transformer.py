@@ -98,11 +98,9 @@ def linear_w(x: jax.Array, w, bias=None, rows: tp.Optional[slice] = None
             q, sc = w['q4'], w['s']
         else:
             # fallback for un-prepared calls: unpack nibbles in place
-            p, sc = w['q4p'], w['s']
-            lo = jnp.right_shift(jnp.left_shift(p, 4), 4)
-            hi = jnp.right_shift(p, 4)
-            q = jnp.stack([lo, hi], axis=-1).reshape(p.shape[0],
-                                                     p.shape[1] * 2)
+            # (lazy import keeps nn free of a module-level lm dependency)
+            from ..lm.quantize import unpack_int4
+            q, sc = unpack_int4(w['q4p']), w['s']
         if rows is not None:
             q, sc = q[rows], sc[rows]
         o_dim, i_dim = q.shape

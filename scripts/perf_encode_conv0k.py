@@ -12,15 +12,16 @@ from audiocraft_tpu.utils.misc import enable_compilation_cache
 enable_compilation_cache()
 
 
-def chain(fn, wavs, iters, label, units):
+def chain(fn, params, wavs, iters, label, units):
+    # params as jit ARGUMENTS, never closures (CLAUDE.md)
     f = jax.jit(fn)
     carry = jnp.zeros(())
-    codes, carry = f(carry, wavs[0])
+    codes, carry = f(params, carry, wavs[0])
     float(carry)
     t0 = time.perf_counter()
     carry = jnp.zeros(())
     for i in range(iters):
-        codes, carry = f(carry, wavs[i % len(wavs)])
+        codes, carry = f(params, carry, wavs[i % len(wavs)])
     float(carry)
     dt = (time.perf_counter() - t0) / iters
     print(f"{label}: {dt * 1e3:.1f} ms -> {units / dt:.0f} audio-sec/s",
@@ -35,20 +36,20 @@ def main():
         wavs = [jnp.asarray(np.random.RandomState(i).randn(
             B, 1, sr * sec).astype(np.float32) * 0.1) for i in range(2)]
 
-        def enc_native(c, x):
-            codes, _ = model.encode(params, x + c * 1e-20)
+        def enc_native(p, c, x):
+            codes, _ = model.encode(p, x + c * 1e-20)
             return codes, jnp.sum(codes).astype(jnp.float32)
 
-        def enc_kernel(c, x):
-            codes, _ = model.encode(params, x + c * 1e-20, conv0_kernel=True)
+        def enc_kernel(p, c, x):
+            codes, _ = model.encode(p, x + c * 1e-20, conv0_kernel=True)
             return codes, jnp.sum(codes).astype(jnp.float32)
 
-        ca = jax.jit(enc_native)(jnp.zeros(()), wavs[0])[0]
-        cb = jax.jit(enc_kernel)(jnp.zeros(()), wavs[0])[0]
+        ca = jax.jit(enc_native)(params, jnp.zeros(()), wavs[0])[0]
+        cb = jax.jit(enc_kernel)(params, jnp.zeros(()), wavs[0])[0]
         match = float(jnp.mean((ca == cb).astype(jnp.float32)))
         print(f"b{B} token match native-vs-kernel: {match:.6f}", flush=True)
-        chain(enc_native, wavs, iters, f"b{B} native", B * sec)
-        chain(enc_kernel, wavs, iters, f"b{B} conv0_kernel", B * sec)
+        chain(enc_native, params, wavs, iters, f"b{B} native", B * sec)
+        chain(enc_kernel, params, wavs, iters, f"b{B} conv0_kernel", B * sec)
 
 
 if __name__ == "__main__":

@@ -54,7 +54,7 @@ def main():
         chain(f_seq, xs, 8, f"b{B} LSTM sequential")
         chain(f_pipe, xs, 8, f"b{B} LSTM pipelined")
 
-    # full encode (model default now pipelined)
+    # full encode with the model DEFAULT (sequential) LSTM path
     model = get_encodec_32khz()
     params = model.init(jax.random.PRNGKey(0))
     sr, sec = model.sample_rate, 10
@@ -62,11 +62,22 @@ def main():
         wavs = [jnp.asarray(np.random.RandomState(i).randn(
             B, 1, sr * sec).astype(np.float32) * 0.1) for i in range(2)]
 
-        def enc(c, x):
-            codes, _ = model.encode(params, x + c * 1e-20)
+        def enc(p, c, x):
+            codes, _ = model.encode(p, x + c * 1e-20)
             return codes, jnp.sum(codes).astype(jnp.float32)
-        chain(enc, wavs, 8, f"b{B} encode (pipelined LSTM)",
-              units=B * sec)
+        # params as jit ARGUMENTS, never closures (CLAUDE.md)
+        f = jax.jit(enc)
+        carry = jnp.zeros(())
+        _, carry = f(params, carry, wavs[0])
+        float(carry)
+        t0 = time.perf_counter()
+        carry = jnp.zeros(())
+        for i in range(8):
+            _, carry = f(params, carry, wavs[i % 2])
+        float(carry)
+        dt = (time.perf_counter() - t0) / 8
+        print(f"b{B} encode (sequential-LSTM default): {dt*1e3:.2f} ms "
+              f"-> {B * sec / dt:.0f} audio-sec/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -208,3 +208,21 @@ def test_banded_mono_conv_parity():
     y_ref = enc(p16, x)
     assert y_k.shape == y_ref.shape
     assert _rel_err(y_k, y_ref) < 3e-2
+
+
+def test_conv0_kernel_with_fused_stages_does_not_double_apply():
+    """conv0_kernel=True consumes layer0; the fused stage kernel (which runs
+    its own input conv on the raw signal) must then be skipped rather than
+    re-applying layer0 to the 64-channel output (regression: trace-time
+    shape crash)."""
+    enc = SEANetEncoder(channels=1, dimension=16, n_filters=64,
+                        n_residual_layers=1, ratios=(8, 5, 4, 4),
+                        norm='none', lstm=0)
+    params = enc.init(jax.random.PRNGKey(17))
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 1, 128 * 20) * 0.3,
+                    jnp.bfloat16)
+    y = enc(p16, x, conv0_kernel=True, fused_stages=2, interpret=True)
+    y_ref = enc(p16, x)
+    assert y.shape == y_ref.shape
+    assert _rel_err(y, y_ref) < 3e-2
