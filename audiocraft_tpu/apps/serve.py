@@ -56,18 +56,107 @@ def _decode_wav_b64(b64: str):
         return wav_read(tmp.name)
 
 
+class _Slot:
+    """One submitted request awaiting its batched result."""
+
+    def __init__(self, req: dict, group: tp.Any):
+        self.req = req
+        self.group = group
+        self.event = threading.Event()
+        self.result: tp.Optional[dict] = None
+        self.error: tp.Optional[Exception] = None
+
+
+class _Batcher:
+    """Continuous batching: coalesce concurrent compatible requests into one
+    batched facade ``generate`` call.
+
+    Decode throughput is batch-friendly (PERF.md: 26× aggregate realtime at
+    2 streams vs 39.5× at 8 on one chip), so a serving window of a few tens
+    of ms multiplies throughput under concurrency without hurting the empty
+    -queue latency by more than the window.  Requests are compatible when
+    their (model, duration, sampling params) match — the per-call facade
+    state; melody/continuation requests run as singleton batches through
+    the same worker (keeps one generation in flight per device).
+    """
+
+    def __init__(self, service: 'GenerationService', window_s: float,
+                 max_batch: int):
+        import queue
+        self.service = service
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.queue: 'queue.Queue[_Slot]' = queue.Queue()
+        self._carry: tp.Optional[_Slot] = None
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.worker.start()
+
+    def submit(self, req: dict, group: tp.Any) -> dict:
+        slot = _Slot(req, group)
+        self.queue.put(slot)
+        slot.event.wait()
+        if slot.error is not None:
+            raise slot.error
+        assert slot.result is not None
+        return slot.result
+
+    def _collect(self) -> tp.List[_Slot]:
+        import queue as queue_mod
+        import time as time_mod
+        first = self._carry or self.queue.get()
+        self._carry = None
+        batch = [first]
+        # singleton groups (melody/continuation) never coalesce
+        if first.group is None:
+            return batch
+        deadline = time_mod.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time_mod.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self.queue.get(timeout=remaining)
+            except queue_mod.Empty:
+                break
+            if nxt.group == first.group:
+                batch.append(nxt)
+            else:
+                # incompatible: becomes the seed of the next batch
+                self._carry = nxt
+                break
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._collect()
+            try:
+                results = self.service.generate_batch(
+                    [s.req for s in batch])
+                for slot, res in zip(batch, results):
+                    slot.result = res
+            except Exception as exc:  # surface to every waiter
+                for slot in batch:
+                    slot.error = exc
+            finally:
+                for slot in batch:
+                    slot.event.set()
+
+
 class GenerationService:
     """Model cache + request execution, separately testable from HTTP."""
 
     def __init__(self, default_model: str = 'debug',
                  cache_dir: tp.Optional[str] = None,
-                 quantize: tp.Union[bool, str] = False):
+                 quantize: tp.Union[bool, str] = False,
+                 batch_window_ms: float = 0.0, max_batch: int = 8):
         self.default_model = default_model
         self.cache_dir = cache_dir
         # False | 'int8' | 'int4' (True kept as an alias for 'int8')
         self.quantize = 'int8' if quantize is True else quantize
         self.lock = threading.Lock()
         self.current_name = default_model
+        self.batcher = (_Batcher(self, batch_window_ms / 1e3, max_batch)
+                        if batch_window_ms > 0 else None)
 
     def models(self) -> tp.List[str]:
         from ..ckpt.loaders import list_local_models
@@ -96,12 +185,11 @@ class GenerationService:
         self.current_name = name
         return model
 
-    def generate(self, req: dict) -> dict:
-        """Validated request dict -> {"wav": np[C,T], "sample_rate", "seed",
-        "metadata"}.  Raises ValueError on bad input."""
-        import jax
+    @staticmethod
+    def _parse(req: dict) -> dict:
+        """Validate a request; returns the parsed fields.  Raises ValueError
+        on bad input."""
         import numpy as np
-
         text = req.get('text', '')
         if not text:
             raise ValueError('missing "text"')
@@ -111,49 +199,93 @@ class GenerationService:
         seed = int(req.get('seed', -1))
         if seed < 0:
             seed = int(np.random.randint(0, 2 ** 31 - 1))
-        topk = int(req.get('topk', req.get('top_k', 250)))
-        topp = float(req.get('topp', req.get('top_p', 0.0)))
-        temperature = float(req.get('temperature', 1.0))
-        cfg_coef = float(req.get('cfg_coef', 3.0))
+        return {
+            'text': text, 'duration': duration, 'seed': seed,
+            'topk': int(req.get('topk', req.get('top_k', 250))),
+            'topp': float(req.get('topp', req.get('top_p', 0.0))),
+            'temperature': float(req.get('temperature', 1.0)),
+            'cfg_coef': float(req.get('cfg_coef', 3.0)),
+            'melody': req.get('melody_wav'),
+            'prompt': req.get('prompt_wav'),
+            'title': req.get('title', ''),
+            'model': req.get('model'),
+        }
 
-        melody = req.get('melody_wav')
-        prompt = req.get('prompt_wav')
+    @staticmethod
+    def _group_key(p: dict) -> tp.Optional[tuple]:
+        """Batching compatibility key; None = must run alone."""
+        if p['melody'] is not None or p['prompt'] is not None:
+            return None
+        return (p['model'], p['duration'], p['topk'], p['topp'],
+                p['temperature'], p['cfg_coef'])
 
+    def generate(self, req: dict) -> dict:
+        """Validated request dict -> {"wav": np[C,T], "sample_rate", "seed",
+        "metadata"}.  Raises ValueError on bad input.
+
+        With ``batch_window_ms > 0``, concurrent compatible requests
+        coalesce into one batched facade call (continuous batching)."""
+        if self.batcher is not None:
+            parsed = self._parse(req)     # validate on the caller thread
+            return self.batcher.submit(req, self._group_key(parsed))
+        return self.generate_batch([req])[0]
+
+    def generate_batch(self, reqs: tp.List[dict]) -> tp.List[dict]:
+        """Run a list of compatible requests as ONE facade generate call.
+        When batched (len > 1) the sampling key derives from the first
+        request's seed; each response's metadata records the shared seed,
+        its batch index, and the batch size."""
+        import jax
+        import numpy as np
+
+        ps = [self._parse(r) for r in reqs]
+        lead = ps[0]
+        texts = [p['text'] for p in ps]
         with self.lock:  # one generation at a time per device
-            model = self._get_model(req.get('model'))
+            model = self._get_model(lead['model'])
             model.set_generation_params(
-                duration=duration, top_k=topk, top_p=topp,
-                temperature=temperature, cfg_coef=cfg_coef,
+                duration=lead['duration'], top_k=lead['topk'],
+                top_p=lead['topp'], temperature=lead['temperature'],
+                cfg_coef=lead['cfg_coef'],
                 extend_stride=min(10.0, model.max_duration / 2))
-            key = jax.random.PRNGKey(seed)
-            if prompt is not None:
-                p_wav, p_sr = _decode_wav_b64(prompt)
+            key = jax.random.PRNGKey(lead['seed'])
+            if lead['prompt'] is not None:
+                assert len(ps) == 1  # singleton group
+                p_wav, p_sr = _decode_wav_b64(lead['prompt'])
                 m_wavs, m_sr = None, None
-                if melody is not None:
-                    m_wav, m_sr = _decode_wav_b64(melody)
+                if lead['melody'] is not None:
+                    m_wav, m_sr = _decode_wav_b64(lead['melody'])
                     m_wavs = [m_wav]
-                wav = model.generate_continuation(
-                    p_wav[None], p_sr, [text], melody_wavs=m_wavs,
+                wavs = model.generate_continuation(
+                    p_wav[None], p_sr, texts, melody_wavs=m_wavs,
                     melody_sample_rate=m_sr, key=key)
-            elif melody is not None:
-                m_wav, m_sr = _decode_wav_b64(melody)
-                wav = model.generate_with_chroma([text], [m_wav], m_sr,
-                                                 key=key)
+            elif lead['melody'] is not None:
+                assert len(ps) == 1
+                m_wav, m_sr = _decode_wav_b64(lead['melody'])
+                wavs = model.generate_with_chroma(texts, [m_wav], m_sr,
+                                                  key=key)
             else:
-                wav = model.generate([text], key=key)
+                wavs = model.generate(texts, key=key)
             sample_rate = model.sample_rate
             name = model.name
 
-        metadata = {
-            'prompt': text, 'model': name, 'Seed': seed,
-            'duration': duration, 'topk': topk, 'topp': topp,
-            'temperature': temperature, 'cfg_coef': cfg_coef,
-            'title': req.get('title', ''),
-            'melody_condition': melody is not None,
-            'continuation': prompt is not None,
-        }
-        return {'wav': np.asarray(wav[0]), 'sample_rate': sample_rate,
-                'seed': seed, 'metadata': metadata}
+        out = []
+        for i, p in enumerate(ps):
+            metadata = {
+                'prompt': p['text'], 'model': name, 'Seed': lead['seed'],
+                'duration': p['duration'], 'topk': p['topk'],
+                'topp': p['topp'], 'temperature': p['temperature'],
+                'cfg_coef': p['cfg_coef'], 'title': p['title'],
+                'melody_condition': p['melody'] is not None,
+                'continuation': p['prompt'] is not None,
+            }
+            if len(ps) > 1:
+                metadata['batch_index'] = i
+                metadata['batch_size'] = len(ps)
+            out.append({'wav': np.asarray(wavs[i]),
+                        'sample_rate': sample_rate,
+                        'seed': lead['seed'], 'metadata': metadata})
+        return out
 
 
 def make_handler(service: GenerationService):
@@ -250,10 +382,19 @@ def main(argv=None):
                         choices=['int8', 'int4'],
                         help='weight-only quantized LM decode (faster; '
                              'bare flag means int8; see PERF.md)')
+    parser.add_argument('--batch-window', type=float, default=0.0,
+                        metavar='MS',
+                        help='continuous batching: coalesce concurrent '
+                             'compatible requests for up to MS milliseconds '
+                             'into one batched generate (0 = off)')
+    parser.add_argument('--max-batch', type=int, default=8,
+                        help='max requests per coalesced batch')
     args = parser.parse_args(argv)
 
     service = GenerationService(args.model, args.cache_dir,
-                                quantize=args.quantize)
+                                quantize=args.quantize,
+                                batch_window_ms=args.batch_window,
+                                max_batch=args.max_batch)
     service._get_model(args.model)  # fail fast + warm the cache
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))

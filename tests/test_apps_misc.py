@@ -359,3 +359,59 @@ def test_serve_quantized_service(tmp_path):
     w = model.lm_params['transformer']['layer0']['self_attn']['in_proj_weight']
     assert isinstance(w, dict) and 'q' in w
     clear_model_cache()
+
+
+def test_serve_continuous_batching(tmp_path, monkeypatch):
+    """Concurrent compatible requests coalesce into ONE facade generate
+    call; incompatible params split batches; errors surface per request."""
+    import threading as th
+    from audiocraft_tpu.apps.serve import GenerationService
+    from audiocraft_tpu.ckpt import loaders
+
+    service = GenerationService('debug', cache_dir=str(tmp_path),
+                                batch_window_ms=400, max_batch=4)
+    model = loaders.load_model('debug', str(tmp_path))
+    calls = []
+    orig = type(model).generate
+
+    def spying(self, texts, key=None, progress=False):
+        calls.append(list(texts))
+        return orig(self, texts, key=key, progress=progress)
+    monkeypatch.setattr(type(model), 'generate', spying)
+
+    results = {}
+
+    def fire(name, text, duration):
+        results[name] = service.generate(
+            {'text': text, 'duration': duration, 'seed': 3})
+
+    threads = [th.Thread(target=fire, args=(f'r{i}', f'tune {i}', 0.5))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert len(results) == 3
+    for name, res in results.items():
+        assert np.isfinite(res['wav']).all()
+        assert res['metadata']['batch_size'] == 3
+    assert len(calls) == 1 and sorted(calls[0]) == [
+        'tune 0', 'tune 1', 'tune 2']
+
+    # incompatible durations -> separate generate calls
+    calls.clear()
+    threads = [th.Thread(target=fire, args=('a', 'one', 0.5)),
+               th.Thread(target=fire, args=('b', 'two', 0.25))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert len(calls) == 2
+
+    # validation errors raise on the caller thread, untouched by batching
+    try:
+        service.generate({'text': '', 'duration': 0.5})
+        raise AssertionError('expected ValueError')
+    except ValueError:
+        pass
+    loaders.clear_model_cache()
