@@ -27,12 +27,21 @@ import sys
 
 
 def load_torch_state(path: str, allow_unsafe: bool = False) -> dict:
-    """Load a torch checkpoint into {name: np.ndarray} without CUDA.
+    """Load a torch checkpoint into {name: np.ndarray} (state dict only)."""
+    return load_torch_package(path, allow_unsafe)[0]
+
+
+def load_torch_package(path: str, allow_unsafe: bool = False):
+    """Load a torch checkpoint into ({name: np.ndarray}, xp_cfg | None).
 
     Tries the safe `weights_only=True` path first (plain state dicts and the
     reference export layout), adding omegaconf containers to the safelist if
     the export embedded its `xp.cfg`.  Arbitrary pickle execution is only
     allowed with `allow_unsafe` (the CLI's --unsafe-pickle flag).
+
+    The returned ``xp_cfg`` is the checkpoint-embedded reference config as a
+    plain dict (reference utils/export.py:20-79 embeds it; loaders.py:158-214
+    rebuilds the model FROM it) — feed it to ``audiocraft_tpu.config``.
     """
     import torch
 
@@ -62,14 +71,17 @@ def load_torch_state(path: str, allow_unsafe: bool = False) -> dict:
                 "you trust its source") from exc
         pkg = torch.load(path, map_location='cpu', weights_only=False)
 
+    xp_cfg = None
     if isinstance(pkg, dict) and 'best_state' in pkg:
         state = pkg['best_state']
+        from ..config import as_plain
+        xp_cfg = as_plain(pkg.get('xp.cfg')) or None
     elif isinstance(pkg, dict) and 'state_dict' in pkg:
         state = pkg['state_dict']
     else:
         state = pkg
-    return {k: v.numpy() if hasattr(v, 'numpy') else v
-            for k, v in state.items()}
+    return ({k: v.numpy() if hasattr(v, 'numpy') else v
+             for k, v in state.items()}, xp_cfg)
 
 
 def main(argv=None):
@@ -89,6 +101,14 @@ def main(argv=None):
     parser.add_argument('--unsafe-pickle', action='store_true',
                         help='allow torch.load with weights_only=False '
                              '(executes arbitrary pickle code)')
+    parser.add_argument('--compute-dtype', default='bfloat16',
+                        choices=['bfloat16', 'float32'],
+                        help='codec compute dtype when building from an '
+                             'embedded xp.cfg (bfloat16 = production '
+                             'throughput path; float32 = parity dtype)')
+    parser.add_argument('--ignore-embedded-cfg', action='store_true',
+                        help='build from the --config/--size fallback even '
+                             'when the checkpoint embeds an xp.cfg')
     args = parser.parse_args(argv)
 
     import jax
@@ -100,21 +120,55 @@ def main(argv=None):
     from ..ckpt.torch_import import (HARMLESS_BUFFER_PATTERNS, KeyTracker,
                                      import_conditioners, import_encodec,
                                      import_lm, import_t5, merge_params)
+    from ..config import (compression_model_from_cfg, diff_models,
+                          lm_from_cfg)
 
-    sd = KeyTracker(load_torch_state(args.checkpoint,
-                                     allow_unsafe=args.unsafe_pickle))
+    state, xp_cfg = load_torch_package(args.checkpoint,
+                                       allow_unsafe=args.unsafe_pickle)
+    sd = KeyTracker(state)
+    if args.ignore_embedded_cfg:
+        xp_cfg = None
+
+    def _fallback_codec():
+        return {'32khz': get_encodec_32khz, '24khz': get_encodec_24khz,
+                'debug': get_debug_compression_model}[args.config]()
+
+    def _fallback_lm():
+        if args.size == 'debug':
+            return get_debug_musicgen_lm()
+        return get_musicgen_lm(args.size, melody=args.melody,
+                               style=args.style)
+
+    def _report_cfg_build(report, built, fallback, label):
+        summary = report.summary()
+        if summary:
+            print(f"[{label} <- embedded xp.cfg]\n{summary}", file=sys.stderr)
+        delta = diff_models(built, fallback)
+        if delta:
+            print(f"[{label}] embedded xp.cfg differs from the "
+                  f"--{'config' if args.kind == 'compression' else 'size'} "
+                  "fallback (xp.cfg wins):", file=sys.stderr)
+            for line in delta:
+                print(f"  {line}", file=sys.stderr)
 
     if args.kind == 'compression':
-        model = {'32khz': get_encodec_32khz, '24khz': get_encodec_24khz,
-                 'debug': get_debug_compression_model}[args.config]()
+        if xp_cfg is not None and 'encodec' in xp_cfg:
+            dtype = (None if args.compute_dtype == 'float32'
+                     else args.compute_dtype)
+            model, report = compression_model_from_cfg(
+                xp_cfg, compute_dtype=dtype)
+            _report_cfg_build(report, model, _fallback_codec(), 'codec')
+        else:
+            model = _fallback_codec()
         params = import_encodec(model, sd)
         to_save, save_params = model, params
     else:
-        if args.size == 'debug':
-            model, provider = get_debug_musicgen_lm()
+        if xp_cfg is not None and 'transformer_lm' in xp_cfg:
+            model, provider, report = lm_from_cfg(xp_cfg)
+            fb_model, fb_provider = _fallback_lm()
+            _report_cfg_build(report, model, fb_model, 'lm')
         else:
-            model, provider = get_musicgen_lm(args.size, melody=args.melody,
-                                              style=args.style)
+            model, provider = _fallback_lm()
         lm_params = import_lm(model, sd)
         imported_cond = import_conditioners(provider, sd)
         cond_params = provider.init(jax.random.PRNGKey(0))
