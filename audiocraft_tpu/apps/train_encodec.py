@@ -28,6 +28,10 @@ def main(argv=None):
                         help='tiny debug codec config')
     parser.add_argument('--synthetic', action='store_true')
     parser.add_argument('--log-every', type=int, default=10)
+    parser.add_argument('--compute-dtype', default=None,
+                        choices=['bfloat16'],
+                        help='mixed precision: bf16 forward/backward, fp32 '
+                             'master params + optimizer (dist/train.py)')
     args = parser.parse_args(argv)
 
     import jax
@@ -85,7 +89,8 @@ def main(argv=None):
                     yield b
         batch_iter = batches()
 
-    step_fn = jax.jit(make_encodec_train_step(model, optimizer),
+    step_fn = jax.jit(make_encodec_train_step(
+        model, optimizer, compute_dtype=args.compute_dtype),
                       donate_argnums=(0, 1, 2))
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()

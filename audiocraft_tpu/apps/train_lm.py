@@ -34,6 +34,10 @@ def main(argv=None):
                         help='debug-size LM + codec')
     parser.add_argument('--synthetic', action='store_true')
     parser.add_argument('--log-every', type=int, default=10)
+    parser.add_argument('--compute-dtype', default=None,
+                        choices=['bfloat16'],
+                        help='mixed precision: bf16 forward/backward, fp32 '
+                             'master params + optimizer (dist/train.py)')
     args = parser.parse_args(argv)
 
     import jax
@@ -102,7 +106,8 @@ def main(argv=None):
     batch_iter = batches()
 
     encode = jax.jit(lambda p, x: codec.encode(p, x)[0])
-    step_fn = jax.jit(make_lm_train_step(lm, optimizer),
+    step_fn = jax.jit(make_lm_train_step(
+        lm, optimizer, compute_dtype=args.compute_dtype),
                       donate_argnums=(0, 1))
     cfg_drop = ClassifierFreeGuidanceDropout(p=args.cfg_dropout)
 

@@ -173,22 +173,43 @@ class EncodecModel:
                 key: tp.Optional[jax.Array] = None, training: bool = False,
                 n_q_active: tp.Optional[jax.Array] = None,
                 axis_name: tp.Optional[str] = None,
-                expiry: str = 'reference'
+                expiry: str = 'reference',
+                compute_dtype: tp.Optional[tp.Any] = None
                 ) -> tp.Tuple[QuantizedResult, dict]:
         """Training/eval forward with reconstruction (reference encodec.py:206-221).
 
         Returns the QuantizedResult whose ``x`` is the reconstructed waveform
         trimmed to the input length, plus updated params (EMA state).
+
+        ``compute_dtype=jnp.bfloat16`` runs the SEANet encoder/decoder convs
+        in bf16 (mixed-precision training: master params stay fp32, the cast
+        happens inside the graph so gradients flow back to fp32 leaves).
+        The quantizer — distances, EMA statistics, codebooks — always stays
+        fp32; that is what token identity and EMA parity are sensitive to.
+        Unlike :meth:`encode`, the *default* here is the parity dtype even
+        for production models: training dtype is the trainer's decision
+        (``dist.train.make_encodec_train_step(compute_dtype=...)``).
         """
         assert x.ndim == 3
         length = x.shape[-1]
         x, scale = self.preprocess(x)
-        emb = self.encoder(params['encoder'], x)
+        enc_params, dec_params = params['encoder'], params['decoder']
+        if compute_dtype is not None:
+            compute_dtype = jnp.dtype(compute_dtype)
+            cast = lambda t: jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+            enc_params, dec_params = cast(enc_params), cast(dec_params)
+            x = x.astype(compute_dtype)
+        emb = self.encoder(enc_params, x).astype(jnp.float32)
         state = _q_state(self.quantizer, params['quantizer'])
         q_res, new_state = self.quantizer.forward(
             state, emb, self.frame_rate, key=key, training=training,
             n_q_active=n_q_active, axis_name=axis_name, expiry=expiry)
-        out = self.decoder(params['decoder'], q_res.x)
+        latent = q_res.x
+        if compute_dtype is not None:
+            latent = latent.astype(compute_dtype)
+        out = self.decoder(dec_params, latent).astype(jnp.float32)
         assert out.shape[-1] >= length, (out.shape[-1], length)
         out = out[..., :length]
         q_res = q_res.replace(x=self.postprocess(out, scale))

@@ -23,7 +23,8 @@ from ..lm.model import LMModel
 
 def encodec_loss(model: EncodecModel, grad_params: dict, ema_state, x: jax.Array,
                  key: jax.Array, commit_weight: float = 1.0,
-                 expiry: str = 'effective'
+                 expiry: str = 'effective',
+                 compute_dtype: tp.Optional[str] = None
                  ) -> tp.Tuple[jax.Array, tp.Tuple]:
     """Reconstruction (L1 + L2) + commitment penalty.  The quantizer state is
     a non-differentiable side state updated by EMA inside the forward.
@@ -35,7 +36,8 @@ def encodec_loss(model: EncodecModel, grad_params: dict, ema_state, x: jax.Array
     params = dict(grad_params)
     params['quantizer'] = ema_state
     q_res, new_params = model.forward(params, x, key=key, training=True,
-                                      expiry=expiry)
+                                      expiry=expiry,
+                                      compute_dtype=compute_dtype)
     recon = q_res.x
     l1 = jnp.mean(jnp.abs(recon - x))
     l2 = jnp.mean(jnp.square(recon - x))
@@ -44,17 +46,26 @@ def encodec_loss(model: EncodecModel, grad_params: dict, ema_state, x: jax.Array
 
 
 def make_encodec_train_step(model: EncodecModel,
-                            optimizer: optax.GradientTransformation):
+                            optimizer: optax.GradientTransformation,
+                            compute_dtype: tp.Optional[str] = None):
     """Returns jittable ``step(grad_params, ema_state, opt_state, x, key)``.
 
     Shard ``x`` over the 'data' mesh axis and keep params replicated; GSPMD
     handles gradient and EMA-statistic all-reduces.
+
+    ``compute_dtype='bfloat16'`` = mixed precision: master params, optimizer
+    state, losses, and the RVQ EMA stay fp32; the SEANet conv forward and
+    backward run bf16 (the MXU-native dtype).  bf16's 8-bit mantissa adds
+    noise ~1e-2 relative on the reconstruction — far below the codec's own
+    quantization error — and the gradient path upcasts at the fp32 leaves,
+    so optimizer math is exact.
     """
 
     def step(grad_params, ema_state, opt_state, x, key):
         (loss, (new_ema, l1, l2, penalty)), grads = jax.value_and_grad(
-            encodec_loss, argnums=1, has_aux=True)(model, grad_params,
-                                                   ema_state, x, key)
+            encodec_loss, argnums=1, has_aux=True)(
+                model, grad_params, ema_state, x, key,
+                compute_dtype=compute_dtype)
         updates, opt_state = optimizer.update(grads, opt_state, grad_params)
         grad_params = optax.apply_updates(grad_params, updates)
         metrics = {'loss': loss, 'l1': l1, 'l2': l2, 'penalty': penalty}
@@ -64,11 +75,26 @@ def make_encodec_train_step(model: EncodecModel,
 
 
 def lm_loss(model: LMModel, params: dict, codes: jax.Array,
-            condition_tensors: dict) -> tp.Tuple[jax.Array, dict]:
+            condition_tensors: dict,
+            compute_dtype: tp.Optional[str] = None
+            ) -> tp.Tuple[jax.Array, dict]:
     """Masked cross-entropy over the delay-pattern-aligned logits
-    (the role of the stripped solvers' CE, cf. lm.py compute_predictions)."""
+    (the role of the stripped solvers' CE, cf. lm.py compute_predictions).
+
+    With ``compute_dtype`` the transformer forward/backward runs in that
+    dtype (params cast in-graph; fp32 master copies keep the gradients and
+    optimizer exact) while the softmax/CE reduction stays fp32.
+    """
+    if compute_dtype is not None:
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        params = cast(params)
+        condition_tensors = {
+            name: (cast(c), m) for name, (c, m) in condition_tensors.items()}
     out = model.compute_predictions(params, codes, condition_tensors)
-    logits = jnp.where(out.mask[..., None], jnp.nan_to_num(out.logits), 0.0)
+    logits = jnp.where(out.mask[..., None],
+                       jnp.nan_to_num(out.logits), 0.0).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt = jax.nn.one_hot(codes, model.card, dtype=logp.dtype)
     ce = -jnp.sum(logp * tgt, axis=-1)  # [B, K, T]
@@ -77,11 +103,16 @@ def lm_loss(model: LMModel, params: dict, codes: jax.Array,
     return loss, {'ce': loss}
 
 
-def make_lm_train_step(model: LMModel, optimizer: optax.GradientTransformation):
+def make_lm_train_step(model: LMModel, optimizer: optax.GradientTransformation,
+                       compute_dtype: tp.Optional[str] = None):
+    """``compute_dtype='bfloat16'`` = mixed-precision CE training (see
+    :func:`make_encodec_train_step`; same fp32-master / bf16-compute split).
+    """
     def step(params, opt_state, codes, condition_tensors):
         (loss, metrics), grads = jax.value_and_grad(
             lm_loss, argnums=1, has_aux=True)(model, params, codes,
-                                              condition_tensors)
+                                              condition_tensors,
+                                              compute_dtype=compute_dtype)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {'loss': loss, **metrics}
