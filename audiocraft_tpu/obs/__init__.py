@@ -70,8 +70,12 @@ def chained_throughput(step_fn: tp.Callable, inputs: tp.Sequence,
     import jax.numpy as jnp
     fn = jax.jit(step_fn)
     carry = jnp.zeros(())
-    _, carry = fn(carry, inputs[0])
-    float(carry)  # compile + warm
+    # compile + >=4 warmup executions: the first few runs after a compile
+    # carry 0.6-5 s of one-time overhead on axon (PERF.md measurement
+    # correction) — a single warmup still leaves ~2x inflation behind
+    for i in range(4):
+        _, carry = fn(carry, inputs[i % len(inputs)])
+    float(carry)
     t0 = time.perf_counter()
     carry = jnp.zeros(())
     for i in range(iters):

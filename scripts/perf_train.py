@@ -27,8 +27,11 @@ def main():
     xs = [jnp.asarray(np.random.RandomState(i).randn(B, 1, T)
                       .astype(np.float32) * 0.1) for i in range(2)]
     gp, es, os_ = grad_params, ema_state, opt_state
-    gp, es, os_, m = step(gp, es, os_, xs[0], jax.random.PRNGKey(1))
-    jax.block_until_ready(m)
+    # >=4 warmup executions: the first runs after a compile carry 0.6-5 s of
+    # one-time overhead on axon (PERF.md measurement correction)
+    for i in range(4):
+        gp, es, os_, m = step(gp, es, os_, xs[i % 2], jax.random.PRNGKey(1))
+    float(m['loss'])
     t0 = time.perf_counter()
     iters = 8
     for i in range(iters):
@@ -51,9 +54,10 @@ def main():
     cond = jnp.asarray(np.random.RandomState(9).randn(Bl, 6, lm.dim)
                        .astype(np.float32))
     cmask = jnp.ones((Bl, 6), jnp.int32)
-    lp, lstate, lm_m = lstep(lp, lstate, codes[0],
-                             {'description': (cond, cmask)})
-    jax.block_until_ready(lm_m)
+    for i in range(4):
+        lp, lstate, lm_m = lstep(lp, lstate, codes[i % 2],
+                                 {'description': (cond, cmask)})
+    float(lm_m['loss'])
     t0 = time.perf_counter()
     for i in range(iters):
         lp, lstate, lm_m = lstep(lp, lstate, codes[i % 2],

@@ -32,8 +32,12 @@ def time_encodec(compute_dtype):
     xs = [jnp.asarray(np.random.RandomState(i).randn(B, 1, T)
                       .astype(np.float32) * 0.1) for i in range(2)]
     gp, es, os_ = grad_params, ema_state, opt_state
-    gp, es, os_, m = step(gp, es, os_, xs[0], jax.random.PRNGKey(1))
-    jax.block_until_ready(m)
+    # several warmup executions: on axon the first runs after a compile are
+    # dominated by one-time executable/transfer overhead (measured 0.6-5 s
+    # for a 42 ms program) — one warmup step is NOT enough
+    for i in range(4):
+        gp, es, os_, m = step(gp, es, os_, xs[i % 2], jax.random.PRNGKey(1))
+    float(m['loss'])
     t0 = time.perf_counter()
     for i in range(ITERS):
         gp, es, os_, m = step(gp, es, os_, xs[i % 2], jax.random.PRNGKey(i))
@@ -61,20 +65,22 @@ def time_lm(compute_dtype, batch=8):
                        .astype(np.float32))
     cmask = jnp.ones((Bl, 6), jnp.int32)
     ct = {'description': (cond, cmask)}
-    lp, lstate, m = lstep(lp, lstate, codes[0], ct)
-    jax.block_until_ready(m)
+    for i in range(4):
+        lp, lstate, m = lstep(lp, lstate, codes[i % 2], ct)
+    float(m['loss'])
     t0 = time.perf_counter()
     for i in range(ITERS):
         lp, lstate, m = lstep(lp, lstate, codes[i % 2], ct)
     loss = float(m['loss'])
     dt = (time.perf_counter() - t0) / ITERS
-    toks = Bl * 4 * S
+    toks = Bl * 4 * S          # codes consumed (the data-rate metric)
+    positions = Bl * S         # transformer positions (the FLOP metric:
+    #                            K codebooks share one sequence position)
     name = compute_dtype or 'fp32'
-    # MFU: CE step ~ 6 * N * tokens FLOPs (N = non-embedding params ~ 420M)
-    flops = 6 * 420e6 * toks
+    flops = 6 * 420e6 * positions  # ~420M non-embedding params
     print(f"lm-small train step b{Bl}xS{S} [{name}]: {dt*1e3:.1f} ms -> "
-          f"{toks / dt / 1e3:.1f}k tokens/s, {flops/dt/1e12:.0f} TFLOP/s "
-          f"(loss {loss:.4f})", flush=True)
+          f"{toks / dt / 1e3:.1f}k codes/s, {flops/dt/1e12:.0f} TFLOP/s "
+          f"model FLOPs (loss {loss:.4f})", flush=True)
     return dt
 
 
