@@ -15,15 +15,22 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import typing as tp
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-def lstm_layer(x_tbc: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
-               b_ih: jax.Array, b_hh: jax.Array) -> jax.Array:
-    """One LSTM layer over a [T, B, C] sequence. Returns [T, B, H]."""
+def lstm_layer_with_state(x_tbc: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
+                          b_ih: jax.Array, b_hh: jax.Array,
+                          carry: tp.Optional[tp.Tuple[jax.Array, jax.Array]]
+                          = None
+                          ) -> tp.Tuple[jax.Array,
+                                        tp.Tuple[jax.Array, jax.Array]]:
+    """One LSTM layer over [T, B, C] from an optional initial (h, c).
+    Returns ([T, B, H], final (h, c)) — the carry is what chunked/streaming
+    inference threads between calls (codec/streaming.py)."""
     T, B, _ = x_tbc.shape
     H = w_hh.shape[1]
     # Hoisted input projection: one big matmul over all timesteps.
@@ -41,10 +48,17 @@ def lstm_layer(x_tbc: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    h0 = jnp.zeros((B, H), x_tbc.dtype)
-    c0 = jnp.zeros((B, H), x_tbc.dtype)
-    _, ys = lax.scan(step, (h0, c0), gates_x)
-    return ys
+    if carry is None:
+        carry = (jnp.zeros((B, H), x_tbc.dtype),
+                 jnp.zeros((B, H), x_tbc.dtype))
+    final, ys = lax.scan(step, carry, gates_x)
+    return ys, final
+
+
+def lstm_layer(x_tbc: jax.Array, w_ih: jax.Array, w_hh: jax.Array,
+               b_ih: jax.Array, b_hh: jax.Array) -> jax.Array:
+    """One LSTM layer over a [T, B, C] sequence. Returns [T, B, H]."""
+    return lstm_layer_with_state(x_tbc, w_ih, w_hh, b_ih, b_hh)[0]
 
 
 def lstm_2layer_pipelined(x_tbc: jax.Array, p0: dict, p1: dict) -> jax.Array:
@@ -133,3 +147,21 @@ class StreamableLSTM:
         if self.skip:
             y = y + inp
         return jnp.transpose(y, (1, 2, 0))
+
+    def stream(self, params: dict, x: jax.Array,
+               state: tp.Optional[tp.List] = None
+               ) -> tp.Tuple[jax.Array, tp.List]:
+        """Chunked forward carrying per-layer (h, c) between calls.
+        ``stream(p, full)[0] == concat(stream over chunks)`` exactly."""
+        y = jnp.transpose(x, (2, 0, 1))
+        inp = y
+        new_state = []
+        for layer in range(self.num_layers):
+            p = params[f'l{layer}']
+            carry = state[layer] if state is not None else None
+            y, final = lstm_layer_with_state(y, p['w_ih'], p['w_hh'],
+                                             p['b_ih'], p['b_hh'], carry)
+            new_state.append(final)
+        if self.skip:
+            y = y + inp
+        return jnp.transpose(y, (1, 2, 0)), new_state
