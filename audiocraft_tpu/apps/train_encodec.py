@@ -32,6 +32,12 @@ def main(argv=None):
                         choices=['bfloat16'],
                         help='mixed precision: bf16 forward/backward, fp32 '
                              'master params + optimizer (dist/train.py)')
+    parser.add_argument('--adversarial', action='store_true',
+                        help='full EnCodec GAN recipe: MS-STFT discriminator '
+                             '+ hinge/feature-matching + multi-scale mel, '
+                             'combined by the gradient balancer')
+    parser.add_argument('--d-lr', type=float, default=3e-4,
+                        help='discriminator learning rate (GAN mode)')
     args = parser.parse_args(argv)
 
     import jax
@@ -89,21 +95,54 @@ def main(argv=None):
                     yield b
         batch_iter = batches()
 
-    step_fn = jax.jit(make_encodec_train_step(
-        model, optimizer, compute_dtype=args.compute_dtype),
-                      donate_argnums=(0, 1, 2))
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
-    for step in range(args.steps):
-        x = jax.device_put(jnp.asarray(next(batch_iter)), dsh)
-        key, sub = jax.random.split(key)
-        grad_params, ema_state, opt_state, metrics = step_fn(
-            grad_params, ema_state, opt_state, x, sub)
-        if step % args.log_every == 0 or step == args.steps - 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            dt = time.perf_counter() - t0
-            print(f"step {step:5d}  loss {m['loss']:.4f}  l1 {m['l1']:.4f}  "
-                  f"penalty {m['penalty']:.4f}  ({dt:.1f}s)", flush=True)
+    if args.adversarial:
+        from ..adversarial import MultiScaleSTFTDiscriminator
+        from ..dist.train import make_encodec_gan_train_step
+        from ..losses import Balancer
+        disc = (MultiScaleSTFTDiscriminator(filters=4, n_ffts=(256, 128),
+                                            hop_lengths=(64, 32),
+                                            win_lengths=(256, 128))
+                if args.debug else MultiScaleSTFTDiscriminator())
+        d_params = jax.device_put(disc.init(jax.random.PRNGKey(2)), repl)
+        d_optimizer = optax.adam(args.d_lr)
+        d_opt_state = jax.device_put(d_optimizer.init(d_params), repl)
+        balancer = Balancer(weights={'l1': 0.1, 'l2': 1.0, 'msspec': 3.0,
+                                     'adv': 4.0, 'feat': 4.0})
+        bal_state = jax.device_put(balancer.init_state(), repl)
+        gan_fn = jax.jit(make_encodec_gan_train_step(
+            model, disc, optimizer, d_optimizer, balancer=balancer,
+            compute_dtype=args.compute_dtype),
+            donate_argnums=(0, 1, 2, 3, 4, 5))
+        for step in range(args.steps):
+            x = jax.device_put(jnp.asarray(next(batch_iter)), dsh)
+            key, sub = jax.random.split(key)
+            (grad_params, ema_state, opt_state, d_params, d_opt_state,
+             bal_state, metrics) = gan_fn(grad_params, ema_state, opt_state,
+                                          d_params, d_opt_state, bal_state,
+                                          x, sub)
+            if step % args.log_every == 0 or step == args.steps - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                print(f"step {step:5d}  l1 {m['l1']:.4f}  "
+                      f"msspec {m['msspec']:.4f}  adv {m['adv']:.4f}  "
+                      f"d {m['d_loss']:.4f}  ({dt:.1f}s)", flush=True)
+    else:
+        step_fn = jax.jit(make_encodec_train_step(
+            model, optimizer, compute_dtype=args.compute_dtype),
+                          donate_argnums=(0, 1, 2))
+        for step in range(args.steps):
+            x = jax.device_put(jnp.asarray(next(batch_iter)), dsh)
+            key, sub = jax.random.split(key)
+            grad_params, ema_state, opt_state, metrics = step_fn(
+                grad_params, ema_state, opt_state, x, sub)
+            if step % args.log_every == 0 or step == args.steps - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                print(f"step {step:5d}  loss {m['loss']:.4f}  "
+                      f"l1 {m['l1']:.4f}  penalty {m['penalty']:.4f}  "
+                      f"({dt:.1f}s)", flush=True)
 
     if args.ckpt:
         full = dict(grad_params)
