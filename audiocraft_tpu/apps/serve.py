@@ -234,13 +234,24 @@ class GenerationService:
         """Run a list of compatible requests as ONE facade generate call.
         When batched (len > 1) the sampling key derives from the first
         request's seed; each response's metadata records the shared seed,
-        its batch index, and the batch size."""
+        its batch index, and the batch size.
+
+        The batch is padded to the next power-of-two bucket (repeating the
+        first prompt) so only log2(max_batch)+1 distinct generate programs
+        ever compile — coalesced batches arrive at arbitrary sizes, and an
+        unpadded size triggers a fresh multi-second XLA compile per size
+        (measured: 8 mixed-size batches took 15.8 s vs 0.2 s warm)."""
         import jax
         import numpy as np
 
         ps = [self._parse(r) for r in reqs]
         lead = ps[0]
         texts = [p['text'] for p in ps]
+        n_real = len(texts)
+        bucket = 1
+        while bucket < n_real:
+            bucket *= 2
+        texts = texts + [texts[0]] * (bucket - n_real)
         with self.lock:  # one generation at a time per device
             model = self._get_model(lead['model'])
             model.set_generation_params(
