@@ -89,9 +89,11 @@ def make_encodec_gan_train_step(model: EncodecModel, disc,
     Per step: (1) the discriminator updates on hinge(real, stop-grad(fake));
     (2) the generator's balanced cotangent is assembled at the
     reconstruction (one cheap grad per loss w.r.t. the waveform, NO
-    generator backward each) and pulled back through the generator with ONE
-    vjp; the commitment penalty's gradient (which does not flow through the
-    reconstruction) is added by a separate small backward.
+    generator backward each — adv + feature-matching share one
+    discriminator forward via a grouped vjp) and pulled back through the
+    generator with ONE vjp that carries the commitment penalty's cotangent
+    alongside, so the generator runs exactly one forward and one backward
+    per step.
 
     Returns jittable ``step(g_params, ema_state, g_opt, d_params, d_opt,
     bal_state, x, key) -> (g_params, ema_state, g_opt, d_params, d_opt,
@@ -115,10 +117,11 @@ def make_encodec_gan_train_step(model: EncodecModel, disc,
         q_res, new_params = model.forward(params, x, key=key, training=True,
                                           expiry=expiry,
                                           compute_dtype=compute_dtype)
-        return q_res.x, (new_params['quantizer'], q_res.penalty)
-
-    def penalty_fn(grad_params, ema_state, x, key):
-        return recon_fn(grad_params, ema_state, x, key)[1][1]
+        # recon AND penalty are differentiable outputs of the same forward:
+        # one vjp pulls back both (penalty does not flow through recon, so
+        # it rides the generator backward as a second cotangent instead of
+        # costing its own forward+backward).
+        return (q_res.x, q_res.penalty), new_params['quantizer']
 
     def d_loss_fn(d_params, x, recon):
         real_logits, _ = disc(d_params, x)
@@ -128,7 +131,7 @@ def make_encodec_gan_train_step(model: EncodecModel, disc,
     def step(g_params, ema_state, g_opt_state, d_params, d_opt_state,
              bal_state, x, key):
         # ---- generator forward (once) --------------------------------
-        recon, g_vjp, (new_ema, penalty) = jax.vjp(
+        (recon, penalty), g_vjp, new_ema = jax.vjp(
             lambda gp: recon_fn(gp, ema_state, x, key), g_params,
             has_aux=True)
 
@@ -144,27 +147,20 @@ def make_encodec_gan_train_step(model: EncodecModel, disc,
         real_logits, real_feats = disc(d_params, x)
         real_feats = jax.lax.stop_gradient(real_feats)
 
-        def adv_fn(r):
-            fake_logits, _ = disc(d_params, r)
-            return hinge_g_loss(fake_logits)
-
-        def feat_fn(r):
-            _, fake_feats = disc(d_params, r)
-            return feature_matching_loss(real_feats, fake_feats)
+        def disc_group(r):
+            # adv + feat share one discriminator forward (grouped vjp)
+            fake_logits, fake_feats = disc(d_params, r)
+            return {'adv': hinge_g_loss(fake_logits),
+                    'feat': feature_matching_loss(real_feats, fake_feats)}
 
         loss_fns = {
             'l1': lambda r: jnp.mean(jnp.abs(r - x)),
             'l2': lambda r: jnp.mean(jnp.square(r - x)),
             'msspec': lambda r: msspec(r, x),
-            'adv': adv_fn,
-            'feat': feat_fn,
         }
-        cot, bal_state, metrics = balanced_cotangent(balancer, recon,
-                                                     loss_fns, bal_state)
-        g_grads = g_vjp(cot)[0]
-        p_grads = jax.grad(penalty_fn)(g_params, ema_state, x, key)
-        g_grads = jax.tree.map(lambda a, b: a + commit_weight * b,
-                               g_grads, p_grads)
+        cot, bal_state, metrics = balanced_cotangent(
+            balancer, recon, loss_fns, bal_state, grouped_fns=(disc_group,))
+        g_grads = g_vjp((cot, jnp.asarray(commit_weight, penalty.dtype)))[0]
         g_updates, g_opt_state = g_optimizer.update(g_grads, g_opt_state,
                                                     g_params)
         g_params = optax.apply_updates(g_params, g_updates)

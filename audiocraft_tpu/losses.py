@@ -163,7 +163,10 @@ class Balancer(tp.NamedTuple):
 def balanced_cotangent(balancer: Balancer, recon: jax.Array,
                        loss_fns: tp.Dict[str, tp.Callable[[jax.Array],
                                                           jax.Array]],
-                       state: dict
+                       state: dict,
+                       grouped_fns: tp.Sequence[
+                           tp.Callable[[jax.Array],
+                                       tp.Dict[str, jax.Array]]] = ()
                        ) -> tp.Tuple[jax.Array, dict, dict]:
     """Compute the balanced cotangent w.r.t. ``recon``.
 
@@ -172,6 +175,13 @@ def balanced_cotangent(balancer: Balancer, recon: jax.Array,
     EMA-smoothed norms renormalize each contribution to its requested share,
     and the summed cotangent is pulled back through the generator by the
     caller with ONE vjp.  Returns ``(cotangent, new_state, metrics)``.
+
+    ``grouped_fns`` are callables each returning a *dict* of named scalar
+    losses that share a forward pass (e.g. adversarial + feature-matching
+    both read the same discriminator activations): the group is linearized
+    with one ``jax.vjp`` so the shared forward runs once, then each loss
+    gets its own pullback (its gradient norm is needed individually).  The
+    math is identical to listing the losses in ``loss_fns``.
     """
     total_w = sum(balancer.weights.values())
     count = state['_count'] + 1
@@ -179,8 +189,9 @@ def balanced_cotangent(balancer: Balancer, recon: jax.Array,
     cot = jnp.zeros_like(recon)
     new_state = {'_count': count}
     metrics: tp.Dict[str, jax.Array] = {}
-    for name, fn in loss_fns.items():
-        loss, g = jax.value_and_grad(fn)(recon)
+
+    def accumulate(name: str, loss: jax.Array, g: jax.Array):
+        nonlocal cot
         norm = jnp.linalg.norm(g.ravel())
         ema = state[name] * decay + norm * (1 - decay)
         new_state[name] = ema
@@ -189,4 +200,14 @@ def balanced_cotangent(balancer: Balancer, recon: jax.Array,
         cot = cot + g * (share / (ema_hat + balancer.epsilon))
         metrics[name] = loss
         metrics[f'{name}_norm'] = norm
+
+    for name, fn in loss_fns.items():
+        loss, g = jax.value_and_grad(fn)(recon)
+        accumulate(name, loss, g)
+    for group in grouped_fns:
+        losses, pull = jax.vjp(group, recon)
+        for name in losses:
+            onehot = {n: jnp.asarray(1.0 if n == name else 0.0,
+                                     losses[n].dtype) for n in losses}
+            accumulate(name, losses[name], pull(onehot)[0])
     return cot, new_state, metrics

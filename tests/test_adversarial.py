@@ -105,6 +105,34 @@ def test_balancer_equalizes_shares():
         1.0, rel=0.5)  # two roughly-independent 0.5-norm contributions
 
 
+def test_balancer_grouped_matches_ungrouped():
+    """grouped_fns (shared-forward vjp) must be mathematically identical to
+    listing the same losses individually in loss_fns."""
+    recon = jnp.asarray(np.random.RandomState(1)
+                        .randn(4, 32).astype(np.float32))
+    tgt = jnp.asarray(np.random.RandomState(2)
+                      .randn(4, 32).astype(np.float32))
+
+    def shared(r):
+        h = jnp.tanh(r @ r.T)  # "expensive" shared forward
+        return {'a': jnp.mean(h ** 2), 'b': jnp.mean(jnp.abs(h - 1.0))}
+
+    fns = {'l1': lambda r: jnp.mean(jnp.abs(r - tgt)),
+           'a': lambda r: shared(r)['a'],
+           'b': lambda r: shared(r)['b']}
+    bal = Balancer(weights={'l1': 1.0, 'a': 2.0, 'b': 0.5})
+    cot_u, st_u, m_u = balanced_cotangent(bal, recon, fns, bal.init_state())
+    cot_g, st_g, m_g = balanced_cotangent(
+        bal, recon, {'l1': fns['l1']}, bal.init_state(),
+        grouped_fns=(shared,))
+    np.testing.assert_allclose(np.asarray(cot_u), np.asarray(cot_g),
+                               rtol=1e-6, atol=1e-7)
+    for k in m_u:
+        np.testing.assert_allclose(float(m_u[k]), float(m_g[k]), rtol=1e-6)
+    for k in st_u:
+        np.testing.assert_allclose(float(st_u[k]), float(st_g[k]), rtol=1e-6)
+
+
 def test_sisnr_and_msspec_basics():
     x = jnp.asarray(np.random.RandomState(2)
                     .randn(2, 1, 4096).astype(np.float32))
