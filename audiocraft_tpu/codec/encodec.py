@@ -102,7 +102,8 @@ class EncodecModel:
     def encode(self, params: dict, x: jax.Array,
                compute_dtype: tp.Optional[tp.Any] = None,
                fused: tp.Optional[bool] = None,
-               conv0_kernel: tp.Optional[bool] = None
+               conv0_kernel: tp.Optional[bool] = None,
+               lstm_kernel: tp.Optional[bool] = None
                ) -> tp.Tuple[jax.Array, tp.Optional[jax.Array]]:
         """x: [B, C, T] float -> (codes [B, K, T_frames] int32, scale).
 
@@ -121,6 +122,10 @@ class EncodecModel:
         Pallas kernel (PERF.md: XLA's C_in=1 conv runs ~2x off its memory
         floor and can't be reformulated away in XLA — layout relayouts eat
         the win).  Default off pending in-graph measurement.
+
+        ``lstm_kernel`` routes the LSTM recurrence through the Pallas
+        scan-in-one-program kernel (ops/lstm_pallas.py): VMEM-resident
+        recurrent weight + carry, one program for all T steps.
         """
         assert x.ndim == 3
         if compute_dtype is None and self.compute_dtype is not None:
@@ -129,6 +134,8 @@ class EncodecModel:
             fused = False
         if conv0_kernel is None:
             conv0_kernel = False
+        if lstm_kernel is None:
+            lstm_kernel = False
         x, scale = self.preprocess(x)
         enc_params = params['encoder']
         if compute_dtype is not None:
@@ -139,31 +146,36 @@ class EncodecModel:
             x = x.astype(compute_dtype)
         emb = self.encoder(enc_params, x,
                            fused_stages=2 if fused else 0,
-                           conv0_kernel=conv0_kernel).astype(jnp.float32)
+                           conv0_kernel=conv0_kernel,
+                           lstm_kernel=lstm_kernel).astype(jnp.float32)
         codes = self.quantizer.encode(_q_state(self.quantizer, params['quantizer']), emb)
         return codes, scale
 
     def decode(self, params: dict, codes: jax.Array,
                scale: tp.Optional[jax.Array] = None,
-               compute_dtype: tp.Optional[tp.Any] = None) -> jax.Array:
+               compute_dtype: tp.Optional[tp.Any] = None,
+               lstm_kernel: tp.Optional[bool] = None) -> jax.Array:
         """codes: [B, K, T_frames] -> waveform [B, C, T] (includes padding).
 
         ``compute_dtype`` mirrors :meth:`encode`: when not passed, the
         model's ``compute_dtype`` field applies (fp32 parity default; the
         production builders set bf16, which the quantization noise of the
         codec itself dwarfs).  The codebook lookup stays fp32; the waveform
-        returns as fp32 either way.
+        returns as fp32 either way.  ``lstm_kernel`` mirrors :meth:`encode`.
         """
         emb = self.decode_latent(params, codes)
         if compute_dtype is None and self.compute_dtype is not None:
             compute_dtype = jnp.dtype(self.compute_dtype)
+        if lstm_kernel is None:
+            lstm_kernel = False
         dec_params = params['decoder']
         if compute_dtype is not None:
             dec_params = jax.tree.map(
                 lambda a: a.astype(compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, dec_params)
             emb = emb.astype(compute_dtype)
-        out = self.decoder(dec_params, emb).astype(jnp.float32)
+        out = self.decoder(dec_params, emb,
+                           lstm_kernel=lstm_kernel).astype(jnp.float32)
         return self.postprocess(out, scale)
 
     def decode_latent(self, params: dict, codes: jax.Array) -> jax.Array:

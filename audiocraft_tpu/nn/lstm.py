@@ -134,16 +134,29 @@ class StreamableLSTM:
             }
         return params
 
-    def __call__(self, params: dict, x: jax.Array) -> jax.Array:
+    def __call__(self, params: dict, x: jax.Array, *,
+                 kernel: bool = False, interpret: bool = False) -> jax.Array:
+        """``kernel=True`` routes each layer's recurrence through the Pallas
+        scan-in-one-program kernel (ops/lstm_pallas.py) when the shape is
+        eligible; ineligible shapes fall back to the ``lax.scan`` path."""
         # [B, C, T] -> [T, B, C]
         y = jnp.transpose(x, (2, 0, 1))
         inp = y
-        if self.pipelined and self.num_layers == 2:
+        if self.pipelined and self.num_layers == 2 and not kernel:
             y = lstm_2layer_pipelined(y, params['l0'], params['l1'])
         else:
             for layer in range(self.num_layers):
                 p = params[f'l{layer}']
-                y = lstm_layer(y, p['w_ih'], p['w_hh'], p['b_ih'], p['b_hh'])
+                out = None
+                if kernel:
+                    from ..ops.lstm_pallas import lstm_layer_pallas
+                    out = lstm_layer_pallas(y, p['w_ih'], p['w_hh'],
+                                            p['b_ih'], p['b_hh'],
+                                            interpret=interpret)
+                if out is None:
+                    out = lstm_layer(y, p['w_ih'], p['w_hh'], p['b_ih'],
+                                     p['b_hh'])
+                y = out
         if self.skip:
             y = y + inp
         return jnp.transpose(y, (1, 2, 0))

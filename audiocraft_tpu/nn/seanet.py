@@ -173,6 +173,7 @@ class SEANetEncoder:
 
     def __call__(self, params: dict, x: jax.Array, *,
                  fused_stages: int = 0, conv0_kernel: bool = False,
+                 lstm_kernel: bool = False,
                  interpret: bool = False) -> jax.Array:
         """Forward [B, C, T] -> [B, dimension, T/hop].
 
@@ -182,6 +183,8 @@ class SEANetEncoder:
         ``conv0_kernel`` routes the mono input conv through the banded-matmul
         Pallas kernel (XLA lowers the C_in=1 conv ~2x off its memory floor,
         PERF.md); ineligible shapes fall back to the XLA conv.
+        ``lstm_kernel`` routes the LSTM recurrence through the Pallas
+        scan-in-one-program kernel (ops/lstm_pallas.py).
         """
         act = _act(self.activation, {'alpha': self.activation_alpha})
         start = 0
@@ -202,6 +205,9 @@ class SEANetEncoder:
                 continue
             if kind == 'act':
                 x = act(x)
+            elif kind == 'lstm':
+                x = mod(params[f'layer{i}'], x, kernel=lstm_kernel,
+                        interpret=interpret)
             else:
                 x = mod(params[f'layer{i}'], x)
         return x
@@ -318,7 +324,9 @@ class SEANetDecoder:
                 params[f'layer{i}'] = mod.init(keys[i])
         return params
 
-    def __call__(self, params: dict, z: jax.Array) -> jax.Array:
+    def __call__(self, params: dict, z: jax.Array, *,
+                 lstm_kernel: bool = False,
+                 interpret: bool = False) -> jax.Array:
         act = _act(self.activation, {'alpha': self.activation_alpha})
         x = z
         for i, (kind, mod) in enumerate(self._layers()):
@@ -326,6 +334,9 @@ class SEANetDecoder:
                 x = act(x)
             elif kind == 'final_act':
                 x = get_activation_fn(self.final_activation.lower())(x)
+            elif kind == 'lstm':
+                x = mod(params[f'layer{i}'], x, kernel=lstm_kernel,
+                        interpret=interpret)
             else:
                 x = mod(params[f'layer{i}'], x)
         return x
