@@ -171,9 +171,51 @@ class SEANetEncoder:
                 params[f'layer{i}'] = mod.init(keys[i])
         return params
 
+    @property
+    def split_index(self) -> int:
+        """Layer index separating the time-local conv front (every layer
+        strictly before it) from the sequence-global tail (LSTM onward, or
+        the final act+conv when there is no LSTM).  The front is what
+        ``dist/pod.py`` shards over time; everything at/after this index has
+        unbounded receptive field (LSTM) or is cheap enough to replicate."""
+        layers = self._layers()
+        for i, (kind, _) in enumerate(layers):
+            if kind == 'lstm':
+                return i
+        return len(layers) - 2  # final (act, conv) pair
+
+    def front_corruption_radius(self) -> tp.Tuple[int, int]:
+        """(left, right) corruption radius, in front-output frames, of the
+        conv front (layers before ``split_index``) when it runs on an
+        interior chunk whose edges carry the layer-local pads instead of the
+        true neighboring signal.  Tracks, per conv, how far wrong edge
+        values propagate: with a corrupt input region of width ``c``, output
+        ``t`` (stride ``s``, one-sided pad ``pl``/``pr``, effective kernel
+        ``ke``) reads inputs ``[t*s - pl, t*s - pl + ke - 1]``."""
+        c_l = c_r = 0
+        for i, (kind, mod) in enumerate(self._layers()):
+            if i >= self.split_index:
+                break
+            convs: tp.List[StreamableConv1d] = []
+            if kind == 'conv':
+                convs = [mod]
+            elif kind == 'res':
+                convs = mod._convs()  # skip path is pointwise: radius-neutral
+            for conv in convs:
+                ke = conv.effective_kernel_size
+                p = ke - conv.stride
+                pl = p if conv.causal else p // 2
+                pr = p - pl
+                s = conv.stride
+                # corrupt-left: t*s - pl < c_l  ->  t <= ceil((c_l+pl)/s)-1
+                c_l = max(0, -(-(c_l + pl) // s))
+                c_r = max(0, -(-(c_r + pr) // s))
+        return c_l, c_r
+
     def __call__(self, params: dict, x: jax.Array, *,
                  fused_stages: int = 0, conv0_kernel: bool = False,
                  lstm_kernel: bool = False,
+                 start_layer: int = 0, stop_layer: tp.Optional[int] = None,
                  interpret: bool = False) -> jax.Array:
         """Forward [B, C, T] -> [B, dimension, T/hop].
 
@@ -185,10 +227,12 @@ class SEANetEncoder:
         PERF.md); ineligible shapes fall back to the XLA conv.
         ``lstm_kernel`` routes the LSTM recurrence through the Pallas
         scan-in-one-program kernel (ops/lstm_pallas.py).
+        ``start_layer``/``stop_layer`` run a half-open layer slice — the
+        front/back split used by the time-parallel pod encode (dist/pod.py).
         """
         act = _act(self.activation, {'alpha': self.activation_alpha})
-        start = 0
-        if conv0_kernel:
+        start = start_layer
+        if conv0_kernel and start_layer == 0:
             y = self._conv0_kernel(params, x, interpret=interpret)
             if y is not None:
                 x, start = y, 1
@@ -201,7 +245,7 @@ class SEANetEncoder:
             if fused is not None:
                 x, start = fused
         for i, (kind, mod) in enumerate(self._layers()):
-            if i < start:
+            if i < start or (stop_layer is not None and i >= stop_layer):
                 continue
             if kind == 'act':
                 x = act(x)

@@ -67,6 +67,32 @@ def in_graph(B, seconds=1.0):
           f"token match {match:.6f}", flush=True)
 
 
+def in_graph_decode(B, seconds=1.0):
+    model = get_encodec_32khz()
+    params = model.init(jax.random.PRNGKey(0))
+    n_frames = int(seconds * model.frame_rate)
+    rs = np.random.RandomState(0)
+    codes = [jnp.asarray(rs.randint(0, model.quantizer.bins,
+                                    size=(B, model.quantizer.n_q, n_frames))
+                         .astype(np.int32)) for _ in range(2)]
+
+    def dec(kern):
+        def step(carry, c):
+            wav = model.decode(params, (c + carry.astype(jnp.int32) * 0)
+                               % model.quantizer.bins, lstm_kernel=kern)
+            return wav, jnp.sum(wav[:, :, :8]).astype(jnp.float32) * 1e-9
+        return step
+
+    dt_x, thr_x = chained_throughput(dec(False), codes, units_per_iter=B * seconds)
+    dt_k, thr_k = chained_throughput(dec(True), codes, units_per_iter=B * seconds)
+    w_x = jax.jit(lambda c: model.decode(params, c))(codes[0])
+    w_k = jax.jit(lambda c: model.decode(params, c, lstm_kernel=True))(codes[0])
+    err = float(jnp.max(jnp.abs(w_x - w_k)))
+    print(f"decode b{B} bf16: xla {dt_x*1e3:.1f} ms ({thr_x:.0f} a-s/s)  "
+          f"lstm_kernel {dt_k*1e3:.1f} ms ({thr_k:.0f} a-s/s)  "
+          f"max err {err:.2e}", flush=True)
+
+
 def main():
     # Stage-selectable: each Mosaic compile is 10-20 min through the remote
     # tunnel, so run `python perf_lstm_kernel.py standalone|b32|b128` as
@@ -77,9 +103,11 @@ def main():
         standalone(32)
         standalone(128)
     if stage in ('b32', 'all'):
-        in_graph(32)
+        in_graph(32, seconds=10.0)  # headline workload: 10 s -> 500 steps
     if stage in ('b128', 'all'):
-        in_graph(128)
+        in_graph(128, seconds=10.0)
+    if stage in ('dec32', 'all'):
+        in_graph_decode(32, seconds=10.0)
 
 
 if __name__ == "__main__":
