@@ -36,7 +36,7 @@ def get_encodec_32khz(n_filters: int = 64, dimension: int = 128,
     quantizer = ResidualVectorQuantizer(dimension=dimension, n_q=n_q, bins=bins)
     return EncodecModel(encoder, decoder, quantizer, frame_rate=50,
                         sample_rate=32000, channels=1, causal=causal,
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype, lstm_kernel='auto')
 
 
 def get_encodec_24khz(n_filters: int = 32, dimension: int = 128,

@@ -47,6 +47,10 @@ class EncodecModel:
     # path; None = fp32, the parity/conformance dtype).  encode() arguments
     # override per call.
     compute_dtype: tp.Optional[str] = None
+    # default LSTM routing: False = lax.scan, True = always try the Pallas
+    # recurrence kernel, 'auto' = kernel for batch >= 64 (where it wins
+    # in-graph, PERF.md) and scan below.  encode/decode arguments override.
+    lstm_kernel: tp.Union[bool, str] = False
 
     def __post_init__(self):
         if self.causal:
@@ -78,6 +82,15 @@ class EncodecModel:
             'decoder': self.decoder.init(k2),
             'quantizer': self.quantizer.init(k3),
         }
+
+    def _resolve_lstm_kernel(self, batch: int) -> bool:
+        """Resolve the model-level ``lstm_kernel`` default for this batch:
+        'auto' enables the Pallas recurrence kernel at serving batches
+        (B >= 64, where it wins in-graph — PERF.md); the kernel itself
+        still falls back on ineligible shapes / non-TPU backends."""
+        if self.lstm_kernel == 'auto':
+            return batch >= 64
+        return bool(self.lstm_kernel)
 
     # -- pre/post-processing (reference encodec.py:186-204) -----------------
     def preprocess(self, x: jax.Array) -> tp.Tuple[jax.Array, tp.Optional[jax.Array]]:
@@ -135,7 +148,7 @@ class EncodecModel:
         if conv0_kernel is None:
             conv0_kernel = False
         if lstm_kernel is None:
-            lstm_kernel = False
+            lstm_kernel = self._resolve_lstm_kernel(x.shape[0])
         x, scale = self.preprocess(x)
         enc_params = params['encoder']
         if compute_dtype is not None:
@@ -167,7 +180,7 @@ class EncodecModel:
         if compute_dtype is None and self.compute_dtype is not None:
             compute_dtype = jnp.dtype(self.compute_dtype)
         if lstm_kernel is None:
-            lstm_kernel = False
+            lstm_kernel = self._resolve_lstm_kernel(codes.shape[0])
         dec_params = params['decoder']
         if compute_dtype is not None:
             dec_params = jax.tree.map(

@@ -90,6 +90,20 @@ def test_streamable_lstm_kernel_route():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_lstm_kernel_auto_policy():
+    """'auto' resolves to kernel at serving batches only; explicit call
+    arguments override the model default."""
+    from audiocraft_tpu.builders import get_encodec_32khz
+    model = get_encodec_32khz()
+    assert model.lstm_kernel == 'auto'
+    assert model._resolve_lstm_kernel(128) is True
+    assert model._resolve_lstm_kernel(64) is True
+    assert model._resolve_lstm_kernel(32) is False
+    import dataclasses
+    off = dataclasses.replace(model, lstm_kernel=False)
+    assert off._resolve_lstm_kernel(128) is False
+
+
 def test_encodec_encode_decode_lstm_kernel_route():
     """encode/decode(lstm_kernel=True) == default on an LSTM'd codec whose
     hidden dim is lane-aligned (n_filters=8 -> dim 128)."""
