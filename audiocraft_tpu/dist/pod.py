@@ -1,9 +1,11 @@
-"""Time-parallel (pod) EnCodec tokenization: shard ONE long waveform over
-the device mesh and encode it N× faster, token-exact.
+"""Time-parallel (pod) EnCodec tokenization + synthesis: shard ONE long
+waveform (or code sequence) over the device mesh and run it N× faster —
+``pod_encode`` token-exact, ``pod_decode`` exact to float rounding.
 
-The reference cannot do this at all — its EnCodec encode is a single-GPU
-``forward`` (reference encodec.py:144-163); long audio is only ever chunked
-sequentially on the host.  On TPU the natural design is SPMD over ICI:
+The reference cannot do this at all — its EnCodec encode/decode is a
+single-GPU ``forward`` (reference encodec.py:144-163); long audio is only
+ever chunked sequentially on the host.  On TPU the natural design is SPMD
+over ICI:
 
 * the conv front-end (everything before the LSTM — ~88 % of encode FLOPs,
   PERF.md) is *time-local* with a small receptive field, so each chip runs
@@ -137,3 +139,80 @@ def pod_encode(model, params: dict, x: jax.Array, mesh: Mesh,
     codes = model.quantizer.encode(
         _q_state(model.quantizer, params['quantizer']), emb)
     return codes
+
+
+def pod_decode(model, params: dict, codes: jax.Array, mesh: Mesh,
+               axis: str = 'data',
+               compute_dtype: tp.Optional[tp.Any] = None) -> jax.Array:
+    """Decode ``codes [B, K, T_f]`` with time sharded over ``mesh[axis]``.
+
+    The decoder inverts the encoder's structure, so the pod split flips:
+    the sequence-global head (initial frame-rate conv + LSTM, ~12 % of
+    decode) runs replicated on the (tiny) frame-level embedding, and the
+    upsampling transposed-conv tail (~88 %) runs time-sharded — each shard
+    takes a *window* of the replicated head output: its own frame chunk
+    plus a corruption-radius halo of true neighboring frames (no
+    collectives at all: transposed convs map length L -> L*stride exactly,
+    so only each window's own edge pads corrupt, by
+    ``SEANetDecoder.tail_corruption_radius()`` output samples).  The two
+    global edge windows simply slide inward (still true signal, same
+    length), so every shard runs the identical program on the identical
+    shape — the per-shard output slice offset absorbs the shift.
+
+    Returns the waveform ``[B, C, T_f' * hop]`` time-sharded over ``axis``
+    (``T_f'`` = frames zero-code-padded to a multiple of the shard count).
+    Equals ``model.decode(params, codes_padded)`` up to float rounding:
+    every output sample reads exactly the reference's inputs, but XLA's
+    transposed-conv reduction blocking varies with spatial length, so
+    chunked runs can differ by ~1 ulp (<1e-7 fp32; far below the codec's
+    own reconstruction error, and the production decode dtype is bf16).
+    """
+    assert not model.renormalize, "pod_decode supports renormalize=False"
+    dec = model.decoder
+    S = mesh.shape[axis]
+    hop = dec.hop_length
+    split = dec.split_index
+    c_l, c_r = dec.tail_corruption_radius()   # output samples
+    halo_f = -(-max(c_l, c_r, 1) // hop) + 1  # frames (+1 margin)
+
+    B, K, T_f = codes.shape
+    Tf_pad = -(-T_f // S) * S
+    if Tf_pad != T_f:
+        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, Tf_pad - T_f)))
+    F = Tf_pad // S
+    # F >= 2*halo keeps the inward slide confined to the two edge windows
+    # (any interior window keeps its full halo margin) and fits the window
+    # inside the signal for any S >= 2.
+    assert S == 1 or F >= 2 * halo_f, (
+        f"pod_decode needs >= {2 * halo_f} frames/shard, got {F}; "
+        f"use fewer shards or more frames")
+
+    emb = model.decode_latent(params, codes)
+    if compute_dtype is None and model.compute_dtype is not None:
+        compute_dtype = jnp.dtype(model.compute_dtype)
+    dec_params = params['decoder']
+    if compute_dtype is not None:
+        dec_params = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, dec_params)
+        emb = emb.astype(compute_dtype)
+
+    h = dec(dec_params, emb, stop_layer=split)      # replicated [B, C, Tf']
+    C = h.shape[1]
+    W = min(F + 2 * halo_f, Tf_pad)                 # window frames
+    # shard i's window: frames [i*F - halo, i*F + F + halo), slid inward at
+    # the global edges so every window is true signal of identical length
+    starts = [min(max(i * F - halo_f, 0), Tf_pad - W) for i in range(S)]
+    chunks = jnp.stack([h[:, :, st:st + W] for st in starts])  # [S, B, C, W]
+    chunks = jax.lax.with_sharding_constraint(
+        chunks, jax.sharding.NamedSharding(mesh, P(axis)))
+    y = dec(dec_params, chunks.reshape(S * B, C, W), start_layer=split)
+    y = y.reshape(S, B, model.channels, W * hop)
+    # shard i's F*hop output samples start at (i*F - starts[i]) * hop; the
+    # offset is >= c_l from any padded window edge (and 0 at a true edge)
+    y = jnp.stack([y[i, :, :, (i * F - starts[i]) * hop:]
+                   [:, :, :F * hop] for i in range(S)])
+    wav = jnp.moveaxis(y, 0, 2).reshape(B, model.channels, Tf_pad * hop)
+    wav = jax.lax.with_sharding_constraint(
+        wav, jax.sharding.NamedSharding(mesh, P(None, None, axis)))
+    return model.postprocess(wav.astype(jnp.float32), None)

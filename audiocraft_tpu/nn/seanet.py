@@ -42,6 +42,52 @@ def _act(name: str, params: dict):
     return fn
 
 
+def corruption_radius(layers, lo: int, hi: int) -> tp.Tuple[int, int]:
+    """(left, right) corruption radius of the layer slice ``[lo, hi)`` run on
+    an interior time chunk: how far wrong values at the chunk edges (the
+    layers' own local pads standing in for the true neighboring signal)
+    propagate into the slice's output, in output-timebase units.
+
+    Per conv (stride ``s``, one-sided pads ``pl``/``pr``): output ``t``
+    reads inputs ``[t*s - pl, t*s - pl + ke - 1]``, so a corrupt input
+    region of width ``c`` corrupts ``ceil((c + pl) / s)`` outputs.  Per
+    transposed conv (trims ``pl``/``pr`` after the full overlap-add):
+    corrupt/missing inputs ``< c`` touch full outputs ``< c*s + (k - s)``,
+    i.e. ``c*s + pr`` after the left trim (mirrored on the right).
+    Pointwise layers (activations, residual skips) are radius-neutral."""
+    c_l = c_r = 0
+    for i, (kind, mod) in enumerate(layers):
+        if i < lo or i >= hi:
+            continue
+        assert kind != 'lstm', "LSTM has unbounded receptive field"
+        if kind == 'convtr':
+            p = mod.kernel_size - mod.stride
+            if mod.causal:
+                pr = int(np.ceil(p * mod.trim_right_ratio))
+                pl = p - pr
+            else:
+                pr = p // 2
+                pl = p - pr
+            c_l = c_l * mod.stride + pr
+            c_r = c_r * mod.stride + pl
+            continue
+        convs: tp.List[StreamableConv1d] = []
+        if kind == 'conv':
+            convs = [mod]
+        elif kind == 'res':
+            convs = mod._convs()  # skip path is pointwise: radius-neutral
+        for conv in convs:
+            ke = conv.effective_kernel_size
+            p = ke - conv.stride
+            pl = p if conv.causal else p // 2
+            pr = p - pl
+            s = conv.stride
+            # corrupt-left: t*s - pl < c_l  ->  t <= ceil((c_l+pl)/s)-1
+            c_l = max(0, -(-(c_l + pl) // s))
+            c_r = max(0, -(-(c_r + pr) // s))
+    return c_l, c_r
+
+
 @dataclasses.dataclass(frozen=True)
 class SEANetResnetBlock:
     dim: int
@@ -188,29 +234,8 @@ class SEANetEncoder:
         """(left, right) corruption radius, in front-output frames, of the
         conv front (layers before ``split_index``) when it runs on an
         interior chunk whose edges carry the layer-local pads instead of the
-        true neighboring signal.  Tracks, per conv, how far wrong edge
-        values propagate: with a corrupt input region of width ``c``, output
-        ``t`` (stride ``s``, one-sided pad ``pl``/``pr``, effective kernel
-        ``ke``) reads inputs ``[t*s - pl, t*s - pl + ke - 1]``."""
-        c_l = c_r = 0
-        for i, (kind, mod) in enumerate(self._layers()):
-            if i >= self.split_index:
-                break
-            convs: tp.List[StreamableConv1d] = []
-            if kind == 'conv':
-                convs = [mod]
-            elif kind == 'res':
-                convs = mod._convs()  # skip path is pointwise: radius-neutral
-            for conv in convs:
-                ke = conv.effective_kernel_size
-                p = ke - conv.stride
-                pl = p if conv.causal else p // 2
-                pr = p - pl
-                s = conv.stride
-                # corrupt-left: t*s - pl < c_l  ->  t <= ceil((c_l+pl)/s)-1
-                c_l = max(0, -(-(c_l + pl) // s))
-                c_r = max(0, -(-(c_r + pr) // s))
-        return c_l, c_r
+        true neighboring signal (dist/pod.py halo sizing)."""
+        return corruption_radius(self._layers(), 0, self.split_index)
 
     def __call__(self, params: dict, x: jax.Array, *,
                  fused_stages: int = 0, conv0_kernel: bool = False,
@@ -368,12 +393,33 @@ class SEANetDecoder:
                 params[f'layer{i}'] = mod.init(keys[i])
         return params
 
+    @property
+    def split_index(self) -> int:
+        """Layer index separating the sequence-global head (initial conv +
+        LSTM, run replicated by dist/pod.py) from the time-local upsampling
+        tail (everything from this index on, time-sharded)."""
+        layers = self._layers()
+        for i, (kind, _) in enumerate(layers):
+            if kind == 'lstm':
+                return i + 1
+        return 1  # no LSTM: head = the initial conv only
+
+    def tail_corruption_radius(self) -> tp.Tuple[int, int]:
+        """(left, right) corruption radius, in output samples, of the
+        upsampling tail (layers from ``split_index``) on an interior chunk
+        (dist/pod.py halo sizing)."""
+        return corruption_radius(self._layers(), self.split_index,
+                                 len(self._layers()))
+
     def __call__(self, params: dict, z: jax.Array, *,
                  lstm_kernel: bool = False,
+                 start_layer: int = 0, stop_layer: tp.Optional[int] = None,
                  interpret: bool = False) -> jax.Array:
         act = _act(self.activation, {'alpha': self.activation_alpha})
         x = z
         for i, (kind, mod) in enumerate(self._layers()):
+            if i < start_layer or (stop_layer is not None and i >= stop_layer):
+                continue
             if kind == 'act':
                 x = act(x)
             elif kind == 'final_act':

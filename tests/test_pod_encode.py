@@ -81,6 +81,40 @@ def test_pod_encode_no_lstm():
     np.testing.assert_array_equal(np.asarray(codes), np.asarray(ref))
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_pod_decode_exact(causal):
+    from audiocraft_tpu.dist.pod import pod_decode
+    model = _model(causal=causal)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=8)
+    T_f = 8 * 12
+    codes = jnp.asarray(np.random.RandomState(6).randint(
+        0, 64, size=(2, 4, T_f)).astype(np.int32))
+    ref = model.decode(params, codes)
+    wav = pod_decode(model, params, codes, mesh)
+    assert wav.shape == ref.shape
+    # exact up to float rounding: XLA's transposed-conv blocking varies
+    # with spatial length, so chunked runs differ by ~1 ulp (pod.py doc)
+    np.testing.assert_allclose(np.asarray(wav), np.asarray(ref), atol=1e-6,
+                               rtol=0)
+
+
+def test_pod_decode_ragged_and_jit():
+    from audiocraft_tpu.dist.pod import pod_decode
+    model = _model()
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=8)
+    T_f = 8 * 10 + 5  # ragged: pod pads with code 0 to a shard multiple
+    codes = jnp.asarray(np.random.RandomState(7).randint(
+        0, 64, size=(1, 4, T_f)).astype(np.int32))
+    padded = jnp.pad(codes, ((0, 0), (0, 0), (0, 8 * 11 - T_f)))
+    ref = model.decode(params, padded)
+    fn = jax.jit(lambda p, c: pod_decode(model, p, c, mesh))
+    wav = fn(params, codes)
+    np.testing.assert_allclose(np.asarray(wav), np.asarray(ref), atol=1e-6,
+                               rtol=0)
+
+
 def test_pod_encode_jit_compiles():
     model = _model()
     params = model.init(jax.random.PRNGKey(0))
