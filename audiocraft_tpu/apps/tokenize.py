@@ -11,6 +11,13 @@ host->device transfers are async.  Fixed [batch-rows, 1, batch-seconds*sr]
 shapes mean one compile for the whole corpus.  Without a checkpoint, a
 randomly-initialized 32 kHz EnCodec config is used (throughput measurement;
 tokens are only meaningful with trained weights).
+
+``--pod`` switches to time-parallel whole-file tokenization: each input is
+encoded as ONE sequence time-sharded over every visible device
+(``dist/pod.pod_encode`` — conv front on per-chip chunks with ICI halo
+exchange, replicated LSTM/RVQ tail), token-exact vs the whole-signal
+encode.  Use it on a multi-chip mesh for single-file latency; the batched
+pipeline above is the multi-file throughput path.
 """
 
 from __future__ import annotations
@@ -35,6 +42,49 @@ def _plan_chunks(paths, seconds, sample_rates):
     return chunks
 
 
+def _tokenize_pod(args, model, params, sr_model):
+    """Whole-file time-parallel tokenization over every visible device."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ..dist.pod import pod_encode
+    from ..io import native
+    from ..io.audio_utils import convert_audio
+    from ..io.wav import audio_info, audio_read
+
+    mesh = Mesh(np.array(jax.devices()), ('data',))
+    pod = jax.jit(lambda p, x: pod_encode(model, p, x, mesh))
+    hop = model.encoder.hop_length
+
+    out = {}
+    meta = []
+    total_sec = 0.0
+    t0 = time.perf_counter()
+    for i, path in enumerate(args.inputs):
+        sr, dur, _ch = audio_info(path)
+        if native.available() and not str(path).endswith('.wav'):
+            (wav, sr), = native.decode_audio_batch([str(path)], [0.0], [dur])
+        else:
+            wav, sr = audio_read(path, 0.0, dur)
+        mono = np.asarray(convert_audio(jnp.asarray(wav), sr, sr_model, 1))
+        frames = -(-mono.shape[-1] // hop)
+        codes = pod(params, jnp.asarray(mono[None]))
+        out[f'codes_{i}'] = np.asarray(codes)[0, :, :frames]
+        meta.append({'path': str(path), 'frames': frames})
+        total_sec += mono.shape[-1] / sr_model
+    dt = time.perf_counter() - t0
+
+    if args.stats:
+        print(f"pod tokenize: {len(args.inputs)} file(s), "
+              f"{total_sec:.1f} audio-sec over {mesh.shape['data']} device(s) "
+              f"in {dt:.2f} s", file=sys.stderr)
+    np.savez(args.out, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+             **out)
+    shapes = [v.shape for v in out.values()]
+    print(f"wrote {shapes} tokens to {args.out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument('inputs', nargs='+', help='audio files (wav/mp3/...)')
@@ -45,6 +95,10 @@ def main(argv=None):
     parser.add_argument('--batch-rows', type=int, default=32)
     parser.add_argument('--decode-threads', type=int, default=8)
     parser.add_argument('--stats', action='store_true')
+    parser.add_argument('--pod', action='store_true',
+                        help='time-shard each whole file over all devices '
+                             '(dist/pod.pod_encode); one codes_<i> entry '
+                             'per input in the output npz')
     args = parser.parse_args(argv)
 
     import jax
@@ -67,6 +121,11 @@ def main(argv=None):
         model = model.set_num_codebooks(args.n_q)
 
     sr_model = model.sample_rate
+
+    if args.pod:
+        _tokenize_pod(args, model, params, sr_model)
+        return
+
     seg = int(args.batch_seconds * sr_model)
     infos = [audio_info(p) for p in args.inputs]
     chunks = _plan_chunks(args.inputs, args.batch_seconds, infos)

@@ -348,6 +348,43 @@ def test_tokenize_cli(tmp_path, capsys):
     assert 'tokenize pipeline:' in err and 'audio-sec' in err
 
 
+def test_tokenize_cli_pod(tmp_path, capsys):
+    """--pod: whole-file time-parallel tokenization over the 8-device mesh,
+    token-exact vs the whole-signal encode."""
+    from audiocraft_tpu.apps.tokenize import main as tok_main
+    from audiocraft_tpu.builders import get_debug_compression_model
+    from audiocraft_tpu.ckpt.io import save_checkpoint
+    from audiocraft_tpu.io.wav import wav_write
+
+    model = get_debug_compression_model(32000)
+    params = model.init(jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(tmp_path / 'codec', model, params)
+
+    sr = 32000
+    t = np.arange(4 * sr) / sr
+    wav = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    wav_write(wav, tmp_path / 'long.wav', sr)
+
+    out = tmp_path / 'pod.npz'
+    tok_main([str(tmp_path / 'long.wav'), '--out', str(out),
+              '--checkpoint', str(ckpt), '--pod', '--stats'])
+    with np.load(out) as z:
+        codes = z['codes_0']
+    hop = model.encoder.hop_length
+    frames = -(-wav.shape[-1] // hop)
+    assert codes.shape == (4, frames)
+    err = capsys.readouterr().err
+    assert 'pod tokenize:' in err and 'device(s)' in err
+
+    # token-exact vs the whole-signal padded encode (the pod contract)
+    import jax.numpy as jnp
+    S = len(jax.devices())
+    pad = -(-wav.shape[-1] // (hop * S)) * (hop * S) - wav.shape[-1]
+    x = jnp.asarray(np.pad(wav, ((0, 0), (0, pad)))[None])
+    ref, _ = model.encode(params, x)
+    np.testing.assert_array_equal(codes, np.asarray(ref)[0, :, :frames])
+
+
 def test_serve_quantized_service(tmp_path):
     from audiocraft_tpu.apps.serve import GenerationService
     service = GenerationService('debug', cache_dir=str(tmp_path),
