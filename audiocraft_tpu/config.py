@@ -233,7 +233,12 @@ def compression_model_from_cfg(cfg: tp.Dict[str, tp.Any],
                          frame_rate=sample_rate // hop,
                          sample_rate=sample_rate, channels=channels,
                          causal=causal, renormalize=renormalize,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         # runtime routing flag, not architecture: mirror the
+                         # production builders' batch-resolved default
+                         # (token-exact either way; kernel self-falls-back
+                         # off-TPU) so cfg-built and hand-built models agree.
+                         lstm_kernel='auto')
     if strict:
         report.raise_if_unknown()
     return model, report
