@@ -59,6 +59,8 @@ class FlowMatchingModel:
     cfg_coef: float = 1.0
     skip_connections: bool = True
     activation: str = 'gelu'
+    # flash-fused self-attention over the latent sequence (opt-in)
+    attn_kernel: bool = False
 
     @property
     def input_dim(self) -> int:
@@ -71,7 +73,8 @@ class FlowMatchingModel:
             num_layers=self.num_layers,
             dim_feedforward=int(self.hidden_scale * self.dim),
             norm_first=self.norm_first, causal=False, cross_attention=True,
-            activation=self.activation, skip_connections=self.skip_connections)
+            activation=self.activation, skip_connections=self.skip_connections,
+            attn_kernel=self.attn_kernel)
 
     def init(self, key: jax.Array) -> dict:
         keys = jax.random.split(key, 6)

@@ -75,6 +75,9 @@ class LMModel:
     # program; see nn/transformer.py) — numerically identical, much faster
     # XLA compiles for the deep production stacks
     scan_layers: bool = False
+    # flash-fused full-sequence self-attention for the compute-bound paths
+    # (training CE, MAGNeT stage-0 forwards); decode steps are unaffected
+    attn_kernel: bool = False
 
     @property
     def special_token_id(self) -> int:
@@ -97,7 +100,7 @@ class LMModel:
             bias_attn=self.bias_attn, qk_layer_norm=self.qk_layer_norm,
             qk_layer_norm_cross=self.qk_layer_norm_cross,
             kv_repeat=self.kv_repeat, activation=self.activation,
-            checkpointing=self.checkpointing)
+            checkpointing=self.checkpointing, attn_kernel=self.attn_kernel)
 
     # ------------------------------------------------------------------ init
     def init(self, key: jax.Array) -> dict:

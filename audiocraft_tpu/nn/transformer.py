@@ -129,6 +129,10 @@ class StreamingMultiheadAttention:
     cross_attention: bool = False
     qk_layer_norm: bool = False
     kv_repeat: int = 1
+    # route full-sequence self-attention (training / MAGNeT / prefill-free
+    # forwards) through the Pallas flash kernel (ops/attention_pallas.py).
+    # Opt-in: the fp32 parity suite pins the einsum path.
+    attn_kernel: bool = False
 
     def __post_init__(self):
         if self.past_context is not None:
@@ -280,20 +284,33 @@ class StreamingMultiheadAttention:
             if attn_mask is not None:
                 mask = mask + attn_mask
             k, v, attn_mask = k_full, v_full, mask
-        elif self.causal:
-            qpos = jnp.arange(Tq)
-            delta = qpos[:, None] - qpos[None, :]
-            valid = delta >= 0
-            if self.past_context is not None:
-                valid &= delta <= self.past_context
-            mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
-            attn_mask = mask if attn_mask is None else mask + attn_mask
+            use_kernel = False
+        else:
+            # flash route: full-sequence self-attention with no extra mask
+            # (causality is handled inside the kernel; past_context windows
+            # and MAGNeT's banded masks stay on the einsum path)
+            use_kernel = (self.attn_kernel and attn_mask is None and Tq > 1
+                          and self.past_context is None)
+            if self.causal and not use_kernel:
+                qpos = jnp.arange(Tq)
+                delta = qpos[:, None] - qpos[None, :]
+                valid = delta >= 0
+                if self.past_context is not None:
+                    valid &= delta <= self.past_context
+                mask = jnp.where(valid, 0.0,
+                                 -jnp.inf).astype(jnp.float32)[None, None]
+                attn_mask = mask if attn_mask is None else mask + attn_mask
 
         if self.kv_repeat > 1:
             k = jnp.repeat(k, self.kv_repeat, axis=2)
             v = jnp.repeat(v, self.kv_repeat, axis=2)
 
-        out = self._attend(q, k, v, attn_mask)
+        if use_kernel:
+            from ..ops.attention_pallas import fused_attention
+            out = fused_attention(q, k, v, causal=self.causal,
+                                  sm_scale=1.0 / math.sqrt(self.head_dim))
+        else:
+            out = self._attend(q, k, v, attn_mask)
         out = out.reshape(B, Tq, E)
         o = linear_w(out, params['out_proj']['weight'],
                      params['out_proj'].get('bias'))
@@ -323,13 +340,15 @@ class StreamingTransformerLayer:
     kv_repeat: int = 1
     norm_first: bool = True
     activation: str = 'gelu'
+    attn_kernel: bool = False
 
     @property
     def self_attn(self) -> StreamingMultiheadAttention:
         return StreamingMultiheadAttention(
             embed_dim=self.d_model, num_heads=self.num_heads, bias=self.bias_attn,
             causal=self.causal, past_context=self.past_context, rope=self.rope,
-            qk_layer_norm=self.qk_layer_norm, kv_repeat=self.kv_repeat)
+            qk_layer_norm=self.qk_layer_norm, kv_repeat=self.kv_repeat,
+            attn_kernel=self.attn_kernel)
 
     @property
     def cross_attn(self) -> tp.Optional[StreamingMultiheadAttention]:
@@ -450,6 +469,8 @@ class StreamingTransformer:
     # Params/caches carry a leading [num_layers] axis (see stack_params /
     # init_cache); checkpoints keep the per-layer dict layout.
     scan_layers: bool = False
+    # flash-fused full-sequence self-attention (ops/attention_pallas.py)
+    attn_kernel: bool = False
 
     def __post_init__(self):
         assert self.d_model % self.num_heads == 0
@@ -473,7 +494,7 @@ class StreamingTransformer:
             qk_layer_norm_cross=self.qk_layer_norm_cross,
             cross_attention=self.cross_attention, layer_scale=self.layer_scale,
             rope=self.rope, kv_repeat=self.kv_repeat, norm_first=self.norm_first,
-            activation=self.activation)
+            activation=self.activation, attn_kernel=self.attn_kernel)
 
     def init(self, key: jax.Array) -> dict:
         keys = jax.random.split(key, self.num_layers)
