@@ -152,7 +152,11 @@ def get_musicgen_lm(size: str = 'small', melody: bool = False,
         cross_attention=True, causal=True, activation='gelu',
         positional_embedding='sin', two_step_cfg=False, cfg_coef=3.0,
         weight_init='gaussian', depthwise_init='current',
-        zero_bias_init=True, **shape)
+        zero_bias_init=True,
+        # flash attention at long sequences only (30 s training segments,
+        # where the einsum path's fp32 scores do not fit — PERF.md); decode
+        # and 10 s forwards keep the einsum path, which measures faster there
+        attn_kernel='auto', **shape)
     return lm, provider
 
 
@@ -181,7 +185,10 @@ def get_magnet_lm(size: str = 'small', n_q: int = 4, card: int = 2048,
         depthwise_init='current', zero_bias_init=True,
         subcodes_context=5, span_len=3,
         compression_model_framerate=50,
-        segment_duration=segment_duration, **shape)
+        segment_duration=segment_duration,
+        # long-sequence-only flash routing (see get_musicgen_lm): the 30 s
+        # variants' stage-0 forwards route, 10 s forwards keep einsum
+        attn_kernel='auto', **shape)
     return lm, provider
 
 

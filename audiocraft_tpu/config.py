@@ -499,6 +499,9 @@ def lm_from_cfg(cfg: tp.Dict[str, tp.Any], strict: bool = False,
     if magnet:
         from .lm.magnet import MagnetLMModel
         lm_cls = MagnetLMModel
+    # runtime routing flag, not architecture — mirror the builders' default
+    # (sequence-length-resolved; einsum at decode/short-seq, flash at long)
+    kwargs.setdefault('attn_kernel', 'auto')
     lm = lm_cls(pattern_provider=pattern_provider, fuser=fuser, **kwargs)
     if strict:
         report.raise_if_unknown()

@@ -60,7 +60,7 @@ class FlowMatchingModel:
     skip_connections: bool = True
     activation: str = 'gelu'
     # flash-fused self-attention over the latent sequence (opt-in)
-    attn_kernel: bool = False
+    attn_kernel: tp.Union[bool, str] = False
 
     @property
     def input_dim(self) -> int:

@@ -77,7 +77,7 @@ class LMModel:
     scan_layers: bool = False
     # flash-fused full-sequence self-attention for the compute-bound paths
     # (training CE, MAGNeT stage-0 forwards); decode steps are unaffected
-    attn_kernel: bool = False
+    attn_kernel: tp.Union[bool, str] = False
 
     @property
     def special_token_id(self) -> int:

@@ -131,8 +131,10 @@ class StreamingMultiheadAttention:
     kv_repeat: int = 1
     # route full-sequence self-attention (training / MAGNeT / prefill-free
     # forwards) through the Pallas flash kernel (ops/attention_pallas.py).
-    # Opt-in: the fp32 parity suite pins the einsum path.
-    attn_kernel: bool = False
+    # False = einsum (the fp32 parity path), True = always, 'auto' = only at
+    # long sequence lengths where the einsum path's materialized [B,H,T,T]
+    # scores lose or exhaust HBM (threshold from PERF.md measurements).
+    attn_kernel: tp.Union[bool, str] = False
 
     def __post_init__(self):
         if self.past_context is not None:
@@ -289,8 +291,10 @@ class StreamingMultiheadAttention:
             # flash route: full-sequence self-attention with no extra mask
             # (causality is handled inside the kernel; past_context windows
             # and MAGNeT's banded masks stay on the einsum path)
-            use_kernel = (self.attn_kernel and attn_mask is None and Tq > 1
-                          and self.past_context is None)
+            from ..ops.attention_pallas import resolve_kernel_route
+            use_kernel = (attn_mask is None and Tq > 1
+                          and self.past_context is None
+                          and resolve_kernel_route(self.attn_kernel, Tq))
             if self.causal and not use_kernel:
                 qpos = jnp.arange(Tq)
                 delta = qpos[:, None] - qpos[None, :]
@@ -340,7 +344,7 @@ class StreamingTransformerLayer:
     kv_repeat: int = 1
     norm_first: bool = True
     activation: str = 'gelu'
-    attn_kernel: bool = False
+    attn_kernel: tp.Union[bool, str] = False
 
     @property
     def self_attn(self) -> StreamingMultiheadAttention:
@@ -470,7 +474,7 @@ class StreamingTransformer:
     # init_cache); checkpoints keep the per-layer dict layout.
     scan_layers: bool = False
     # flash-fused full-sequence self-attention (ops/attention_pallas.py)
-    attn_kernel: bool = False
+    attn_kernel: tp.Union[bool, str] = False
 
     def __post_init__(self):
         assert self.d_model % self.num_heads == 0

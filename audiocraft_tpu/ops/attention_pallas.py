@@ -45,13 +45,35 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 
-__all__ = ['fused_attention']
+__all__ = ['fused_attention', 'resolve_kernel_route']
 
 _BLOCK = 128
+
+# 'auto' sequence-length threshold: below this the XLA einsum attention wins
+# (the flash kernel's head-dim padding and small-grid overheads cost more
+# than the scores' HBM traffic saves — PERF.md measurements); at long
+# sequences the einsum path's materialized fp32 [B,H,T,T] backward scores
+# lose and eventually fail to fit (S=1500 training does not compile).
+AUTO_MIN_SEQ = 1024
 
 # Tests flip this to run the Mosaic kernel under the TPU interpreter on CPU
 # (pltpu.force_tpu_interpret_mode); resolved at trace time, before any jit.
 INTERPRET = False
+
+# Zero-pad head_dim up to the 128-lane tile before the kernel.  Exact either
+# way; padding doubles attention FLOPs at D=64 but un-padded 64-lane blocks
+# cost Mosaic internal relayouts — measured a wash on-chip
+# (scripts/perf_attn_unpadded.py: ±2 % both directions at S=750/1500);
+# padded keeps every DMA tile-aligned.
+PAD_HEAD_DIM = True
+
+
+def resolve_kernel_route(flag: tp.Union[bool, str], seq_len: int) -> bool:
+    """Resolve an ``attn_kernel`` model flag for a static sequence length."""
+    if flag == 'auto':
+        return seq_len >= AUTO_MIN_SEQ and (
+            jax.default_backend() == 'tpu' or INTERPRET)
+    return bool(flag)
 
 
 def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -106,7 +128,7 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     S = k.shape[1]
     assert S == T, 'fused_attention is for full-sequence self-attention'
     Tp = -(-T // _BLOCK) * _BLOCK
-    Dp = -(-D // _BLOCK) * _BLOCK
+    Dp = -(-D // _BLOCK) * _BLOCK if PAD_HEAD_DIM else D
 
     def prep(x):
         x = jnp.swapaxes(x, 1, 2)            # [B, H, T, D]

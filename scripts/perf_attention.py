@@ -62,15 +62,16 @@ def parity():
               f"{tx*1e3:.3f} ms ({tx/tf:.2f}x)", flush=True)
 
 
-def train(S, batch):
+def train(S, batch, checkpointing=False, kernels=(False, True)):
     import dataclasses
     from audiocraft_tpu.builders import get_musicgen_lm
     from audiocraft_tpu.dist.train import make_lm_train_step
 
     lm, _ = get_musicgen_lm('small')
     results = {}
-    for kernel in (False, True):
-        m = dataclasses.replace(lm, attn_kernel=kernel)
+    for kernel in kernels:
+        m = dataclasses.replace(lm, attn_kernel=kernel,
+                                checkpointing=checkpointing)
         try:
             lp = m.init(jax.random.PRNGKey(2))
             lopt = optax.adamw(1e-4)
@@ -93,7 +94,8 @@ def train(S, batch):
             dt = (time.perf_counter() - t0) / ITERS
             results[kernel] = dt
             flops = 6 * 420e6 * batch * S
-            print(f"train b{batch}xS{S} attn_kernel={kernel}: "
+            ck = ' remat' if checkpointing else ''
+            print(f"train b{batch}xS{S}{ck} attn_kernel={kernel}: "
                   f"{dt*1e3:.1f} ms  {batch*4*S/dt/1e3:.1f}k codes/s  "
                   f"{flops/dt/1e12:.0f} TFLOP/s (loss {loss:.3f})",
                   flush=True)
@@ -114,7 +116,7 @@ def magnet():
     B, K, S = 2, 4, 500
     seq = jnp.asarray(np.random.RandomState(0).randint(0, 2048, (B, K, S)))
     cond = jnp.asarray(np.random.RandomState(1).randn(B, 6, lm.dim)
-                       .astype(np.bfloat16))
+                       .astype(np.float32), dtype=jnp.bfloat16)
     ct = {'description': (cond, jnp.ones((B, 6), jnp.int32))}
     for kernel in (False, True):
         m = dataclasses.replace(lm, attn_kernel=kernel)
@@ -124,11 +126,15 @@ def magnet():
 
         fwd = jax.jit(lambda p, s, c: m.forward(p, s, c)[0])
 
-        def step(carry, s):
-            lg = fwd(params, s + (carry * 1e-20).astype(jnp.int32), ct)
+        # params ride through the input tuple: closed-over params become
+        # jaxpr constants (huge program uploads through the remote tunnel)
+        def step(carry, inp):
+            s, p = inp
+            lg = fwd(p, s + (carry * 1e-20).astype(jnp.int32), ct)
             return (), lg.astype(jnp.float32).mean()
 
-        dt, _ = chained_throughput(step, [seq, seq + 1], iters=12)
+        dt, _ = chained_throughput(step, [(seq, params), (seq + 1, params)],
+                                   iters=12)
         print(f"magnet fwd B{B}xS{S} attn_kernel={kernel}: {dt*1e3:.2f} ms "
               f"(x50 steps = {dt*50*1e3:.0f} ms / 10 s clip)", flush=True)
 
@@ -141,6 +147,13 @@ def main():
     if 'train' in sections:
         train(250, 16)
         train(1500, 4)
+    if 'train750' in sections:   # crossover probe
+        train(750, 8)
+    if 'train1500b8' in sections:
+        train(1500, 8)
+    if 'train1500remat' in sections:   # remat + flash: batch back up at 30 s
+        train(1500, 16, checkpointing=True, kernels=(True,))
+        train(1500, 8, checkpointing=True, kernels=(True,))
     if 'magnet' in sections:
         magnet()
 

@@ -61,6 +61,22 @@ def test_fused_grad_matches_xla(interpret_kernel):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_auto_routing(interpret_kernel):
+    from audiocraft_tpu.ops.attention_pallas import (AUTO_MIN_SEQ,
+                                                     resolve_kernel_route)
+    assert resolve_kernel_route('auto', AUTO_MIN_SEQ)
+    assert not resolve_kernel_route('auto', AUTO_MIN_SEQ - 1)
+    assert resolve_kernel_route(True, 2)
+    assert not resolve_kernel_route(False, 10 * AUTO_MIN_SEQ)
+
+
+def test_auto_routing_off_tpu_without_interpret():
+    from audiocraft_tpu.ops.attention_pallas import (AUTO_MIN_SEQ,
+                                                     resolve_kernel_route)
+    # on CPU (no interpreter) 'auto' must keep the XLA path
+    assert not resolve_kernel_route('auto', 4 * AUTO_MIN_SEQ)
+
+
 def test_xla_fallback_off_tpu():
     """Without INTERPRET on CPU the wrapper must route to plain XLA."""
     q, k, v = _qkv(1, 64, 2, 16)
