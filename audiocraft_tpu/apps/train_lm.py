@@ -50,6 +50,10 @@ def main(argv=None):
                         help='debug-size LM + codec')
     parser.add_argument('--synthetic', action='store_true')
     parser.add_argument('--log-every', type=int, default=10)
+    parser.add_argument('--grad-accum', type=int, default=1,
+                        help='sequential microbatches per optimizer step '
+                             '(activation memory / A at the same effective '
+                             'batch; --batch must be divisible by it)')
     parser.add_argument('--compute-dtype', default=None,
                         choices=['bfloat16'],
                         help='mixed precision: bf16 forward/backward, fp32 '
@@ -131,7 +135,8 @@ def main(argv=None):
 
     encode = jax.jit(lambda p, x: codec.encode(p, x)[0])
     step_fn = jax.jit(make_lm_train_step(
-        lm, optimizer, compute_dtype=args.compute_dtype),
+        lm, optimizer, compute_dtype=args.compute_dtype,
+        grad_accum=args.grad_accum),
                       donate_argnums=(0, 1))
     cfg_drop = ClassifierFreeGuidanceDropout(p=args.cfg_dropout)
 

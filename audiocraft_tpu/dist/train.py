@@ -201,15 +201,54 @@ def lm_loss(model: LMModel, params: dict, codes: jax.Array,
 
 
 def make_lm_train_step(model: LMModel, optimizer: optax.GradientTransformation,
-                       compute_dtype: tp.Optional[str] = None):
+                       compute_dtype: tp.Optional[str] = None,
+                       grad_accum: int = 1):
     """``compute_dtype='bfloat16'`` = mixed-precision CE training (see
     :func:`make_encodec_train_step`; same fp32-master / bf16-compute split).
+
+    ``grad_accum=A`` splits the batch into A sequential microbatches inside
+    one compiled step (``lax.scan``), averaging the gradients — activation
+    memory drops A× at the same effective batch.  This is THE way to scale
+    effective batch at 30 s segments, where activations bound the per-pass
+    batch at 4 and per-layer remat measured slower (PERF.md).  Exact: the
+    delay-pattern CE mask is batch-independent, so the mean of microbatch
+    losses equals the full-batch loss (up to fp reduction order).  LM-only:
+    the EnCodec step's in-forward EMA state update is not a mean over
+    microbatches, so accumulation there would change semantics.
     """
-    def step(params, opt_state, codes, condition_tensors):
-        (loss, metrics), grads = jax.value_and_grad(
+    def grads_of(params, codes, condition_tensors):
+        return jax.value_and_grad(
             lm_loss, argnums=1, has_aux=True)(model, params, codes,
                                               condition_tensors,
                                               compute_dtype=compute_dtype)
+
+    def step(params, opt_state, codes, condition_tensors):
+        if grad_accum == 1:
+            (loss, metrics), grads = grads_of(params, codes,
+                                              condition_tensors)
+        else:
+            B = codes.shape[0]
+            assert B % grad_accum == 0, (B, grad_accum)
+            mb = B // grad_accum
+
+            def split(t):
+                return t.reshape(grad_accum, mb, *t.shape[1:])
+
+            xs = (split(codes),
+                  {name: (split(c), split(m))
+                   for name, (c, m) in condition_tensors.items()})
+
+            def body(carry, x):
+                gsum, lsum = carry
+                (l, _), g = grads_of(params, x[0], x[1])
+                return (jax.tree.map(jnp.add, gsum, g), lsum + l), ()
+
+            zeros = jax.tree.map(
+                lambda a: jnp.zeros(a.shape, jnp.float32), params)
+            (gsum, lsum), _ = jax.lax.scan(body, (zeros, jnp.zeros(())), xs)
+            grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+            loss = lsum / grad_accum
+            metrics = {'ce': loss}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {'loss': loss, **metrics}

@@ -69,10 +69,18 @@ PAD_HEAD_DIM = True
 
 
 def resolve_kernel_route(flag: tp.Union[bool, str], seq_len: int) -> bool:
-    """Resolve an ``attn_kernel`` model flag for a static sequence length."""
+    """Resolve an ``attn_kernel`` model flag for a static sequence length.
+
+    'auto' additionally requires a single-device process: GSPMD cannot
+    partition a ``pallas_call`` in a global-view jit (it would replicate the
+    global batch onto every chip), so multi-chip training must either keep
+    the einsum path (per-shard scores are N× smaller anyway) or force
+    ``attn_kernel=True`` inside an explicit ``shard_map``.
+    """
     if flag == 'auto':
         return seq_len >= AUTO_MIN_SEQ and (
-            jax.default_backend() == 'tpu' or INTERPRET)
+            (jax.default_backend() == 'tpu' and len(jax.devices()) == 1)
+            or INTERPRET)
     return bool(flag)
 
 

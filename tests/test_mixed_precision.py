@@ -78,6 +78,40 @@ def test_lm_bf16_step_matches_fp32_closely():
     assert abs(bf16[0] - f32[0]) < 0.02 * abs(f32[0])
 
 
+def test_lm_grad_accum_matches_full_batch():
+    """grad_accum=A microbatch accumulation is exact: same params and loss
+    as the single full-batch step (the delay-pattern CE mask is
+    batch-independent, so the mean of microbatch losses == batch loss)."""
+    from audiocraft_tpu.builders import get_debug_musicgen_lm
+
+    lm, provider = get_debug_musicgen_lm()
+    params = lm.init(jax.random.PRNGKey(1))
+    cond_params = provider.init(jax.random.PRNGKey(2))
+    cond = provider.as_dict['description']
+    tokens = cond.tokenize(["a", "b", "c", "d"])
+    c, m = cond(cond_params['description'], tokens)
+    condition_tensors = {'description': (c, m)}
+    codes = jnp.asarray(np.random.RandomState(3)
+                        .randint(0, lm.card, size=(4, lm.n_q, 12)))
+    # SGD: the update is linear in the gradients, so param agreement bounds
+    # the gradient difference directly (adam would amplify the fp-reduction
+    # noise of near-zero grads into full +/-lr sign flips).
+    opt = optax.sgd(1e-2)
+
+    out = {}
+    for accum in (1, 2, 4):
+        step = jax.jit(make_lm_train_step(lm, opt, grad_accum=accum))
+        p, s, metrics = step(params, opt.init(params), codes,
+                             condition_tensors)
+        out[accum] = (p, float(metrics['loss']))
+    for accum in (2, 4):
+        np.testing.assert_allclose(out[accum][1], out[1][1], rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(out[accum][0]),
+                        jax.tree.leaves(out[1][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=2e-4)
+
+
 def test_encodec_forward_compute_dtype_keeps_quantizer_fp32():
     """forward(compute_dtype=bf16): EMA update still happens in fp32 and the
     reconstructed waveform comes back fp32."""
