@@ -78,7 +78,7 @@ def main(argv=None):
         ConditioningAttributes
     from ..data.audio_dataset import AudioDataset
     from ..dist.mesh import make_mesh
-    from ..dist.train import make_lm_train_step
+    from ..dist.train import make_lm_train_step, make_lm_train_step_dp
     from ..optim import ema_update, get_lr_schedule, make_optimizer
 
     # ---- models
@@ -134,10 +134,17 @@ def main(argv=None):
     batch_iter = batches()
 
     encode = jax.jit(lambda p, x: codec.encode(p, x)[0])
-    step_fn = jax.jit(make_lm_train_step(
-        lm, optimizer, compute_dtype=args.compute_dtype,
-        grad_accum=args.grad_accum),
-                      donate_argnums=(0, 1))
+    if n_dev > 1:
+        # explicit shard_map dp: same math as the global-view step, and the
+        # flash-attention 'auto' route works per-shard (long segments)
+        step = make_lm_train_step_dp(lm, optimizer, mesh,
+                                     compute_dtype=args.compute_dtype,
+                                     grad_accum=args.grad_accum)
+    else:
+        step = make_lm_train_step(lm, optimizer,
+                                  compute_dtype=args.compute_dtype,
+                                  grad_accum=args.grad_accum)
+    step_fn = jax.jit(step, donate_argnums=(0, 1))
     cfg_drop = ClassifierFreeGuidanceDropout(p=args.cfg_dropout)
 
     # real copy, not device_put: the step donates lm_params' buffers and

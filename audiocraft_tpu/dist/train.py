@@ -223,34 +223,94 @@ def make_lm_train_step(model: LMModel, optimizer: optax.GradientTransformation,
                                               compute_dtype=compute_dtype)
 
     def step(params, opt_state, codes, condition_tensors):
-        if grad_accum == 1:
-            (loss, metrics), grads = grads_of(params, codes,
-                                              condition_tensors)
-        else:
-            B = codes.shape[0]
-            assert B % grad_accum == 0, (B, grad_accum)
-            mb = B // grad_accum
-
-            def split(t):
-                return t.reshape(grad_accum, mb, *t.shape[1:])
-
-            xs = (split(codes),
-                  {name: (split(c), split(m))
-                   for name, (c, m) in condition_tensors.items()})
-
-            def body(carry, x):
-                gsum, lsum = carry
-                (l, _), g = grads_of(params, x[0], x[1])
-                return (jax.tree.map(jnp.add, gsum, g), lsum + l), ()
-
-            zeros = jax.tree.map(
-                lambda a: jnp.zeros(a.shape, jnp.float32), params)
-            (gsum, lsum), _ = jax.lax.scan(body, (zeros, jnp.zeros(())), xs)
-            grads = jax.tree.map(lambda g: g / grad_accum, gsum)
-            loss = lsum / grad_accum
-            metrics = {'ce': loss}
+        loss, grads = _accumulated_grads(grads_of, params, codes,
+                                         condition_tensors, grad_accum)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {'loss': loss, **metrics}
+        return params, opt_state, {'loss': loss, 'ce': loss}
 
     return step
+
+
+def _accumulated_grads(grads_of, params, codes, condition_tensors,
+                       grad_accum: int):
+    """Mean loss + gradients over ``grad_accum`` sequential microbatches
+    (``lax.scan``; one pass when grad_accum == 1)."""
+    if grad_accum == 1:
+        (loss, _), grads = grads_of(params, codes, condition_tensors)
+        return loss, grads
+
+    B = codes.shape[0]
+    assert B % grad_accum == 0, (B, grad_accum)
+    mb = B // grad_accum
+
+    def split(t):
+        return t.reshape(grad_accum, mb, *t.shape[1:])
+
+    xs = (split(codes),
+          {name: (split(c), split(m))
+           for name, (c, m) in condition_tensors.items()})
+
+    def body(carry, x):
+        gsum, lsum = carry
+        (l, _), g = grads_of(params, x[0], x[1])
+        return (jax.tree.map(jnp.add, gsum, g), lsum + l), ()
+
+    zeros = jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), params)
+    (gsum, lsum), _ = jax.lax.scan(body, (zeros, jnp.zeros(())), xs)
+    return lsum / grad_accum, jax.tree.map(lambda g: g / grad_accum, gsum)
+
+
+def make_lm_train_step_dp(model: LMModel,
+                          optimizer: optax.GradientTransformation,
+                          mesh, axis: str = 'data',
+                          compute_dtype: tp.Optional[str] = None,
+                          grad_accum: int = 1):
+    """Explicit-SPMD (``shard_map``) data-parallel LM train step.
+
+    The global-view GSPMD step (:func:`make_lm_train_step`) cannot partition
+    a ``pallas_call``, so flash-attention training — the only route that
+    compiles at 30 s segments (PERF.md) — is single-device there.  This
+    variant shards the batch over ``mesh[axis]`` with ``shard_map``: every
+    device runs the full per-shard forward/backward (the Pallas kernel sees
+    only its local microbatch), gradients and loss ``pmean`` over ICI, and
+    the optimizer update runs replicated.  ``grad_accum`` composes: each
+    shard scans its local microbatches, so the effective batch is
+    ``n_devices × per_shard_batch`` per optimizer step.
+
+    Exact vs the global-view step (up to fp reduction order): the
+    delay-pattern CE mask is batch-independent, so per-shard mask sums are
+    equal and the mean of shard losses equals the global-batch loss.
+
+    Call with ``codes``/``condition_tensors`` sharded ``P(axis)`` and
+    params/opt_state replicated; returns replicated params/opt_state.
+    """
+    import dataclasses
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if model.attn_kernel == 'auto':
+        # inside the shard_map body the kernel sees only its own shard, so
+        # 'auto' drops the single-device requirement (attention_pallas)
+        model = dataclasses.replace(model, attn_kernel='auto_local')
+
+    def grads_of(params, codes, condition_tensors):
+        return jax.value_and_grad(
+            lm_loss, argnums=1, has_aux=True)(model, params, codes,
+                                              condition_tensors,
+                                              compute_dtype=compute_dtype)
+
+    def local_step(params, opt_state, codes, condition_tensors):
+        loss, grads = _accumulated_grads(grads_of, params, codes,
+                                         condition_tensors, grad_accum)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {'loss': loss, 'ce': loss}
+
+    return shard_map(local_step, mesh=mesh,
+                     in_specs=(P(), P(), P(axis), P(axis)),
+                     out_specs=(P(), P(), P()),
+                     check_vma=False)

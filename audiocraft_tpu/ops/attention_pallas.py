@@ -74,12 +74,15 @@ def resolve_kernel_route(flag: tp.Union[bool, str], seq_len: int) -> bool:
     'auto' additionally requires a single-device process: GSPMD cannot
     partition a ``pallas_call`` in a global-view jit (it would replicate the
     global batch onto every chip), so multi-chip training must either keep
-    the einsum path (per-shard scores are N× smaller anyway) or force
-    ``attn_kernel=True`` inside an explicit ``shard_map``.
+    the einsum path (per-shard scores are N× smaller anyway) or route the
+    kernel inside an explicit ``shard_map`` — 'auto_local' is 'auto' minus
+    the device-count check, set by ``dist.train.make_lm_train_step_dp``
+    whose shard_map body is single-device by construction.
     """
-    if flag == 'auto':
+    if flag in ('auto', 'auto_local'):
         return seq_len >= AUTO_MIN_SEQ and (
-            (jax.default_backend() == 'tpu' and len(jax.devices()) == 1)
+            (jax.default_backend() == 'tpu'
+             and (flag == 'auto_local' or len(jax.devices()) == 1))
             or INTERPRET)
     return bool(flag)
 
