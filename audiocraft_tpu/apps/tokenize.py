@@ -18,6 +18,10 @@ encoded as ONE sequence time-sharded over every visible device
 exchange, replicated LSTM/RVQ tail), token-exact vs the whole-signal
 encode.  Use it on a multi-chip mesh for single-file latency; the batched
 pipeline above is the multi-file throughput path.
+
+``--chunk`` tokenizes each whole file as ONE sequence on a single chip via
+sequential shifted windows (``codec/chunked.chunked_encode``, token-exact)
+— hour-long files encode at ~one-window peak HBM instead of OOMing.
 """
 
 from __future__ import annotations
@@ -42,21 +46,16 @@ def _plan_chunks(paths, seconds, sample_rates):
     return chunks
 
 
-def _tokenize_pod(args, model, params, sr_model):
-    """Whole-file time-parallel tokenization over every visible device."""
-    import jax
+def _tokenize_wholefile(args, model, params, sr_model, encode_fn, label,
+                        extra=''):
+    """Whole-file tokenization: one codes_<i> entry per input."""
     import jax.numpy as jnp
-    from jax.sharding import Mesh
 
-    from ..dist.pod import pod_encode
     from ..io import native
     from ..io.audio_utils import convert_audio
     from ..io.wav import audio_info, audio_read
 
-    mesh = Mesh(np.array(jax.devices()), ('data',))
-    pod = jax.jit(lambda p, x: pod_encode(model, p, x, mesh))
     hop = model.encoder.hop_length
-
     out = {}
     meta = []
     total_sec = 0.0
@@ -69,20 +68,43 @@ def _tokenize_pod(args, model, params, sr_model):
             wav, sr = audio_read(path, 0.0, dur)
         mono = np.asarray(convert_audio(jnp.asarray(wav), sr, sr_model, 1))
         frames = -(-mono.shape[-1] // hop)
-        codes = pod(params, jnp.asarray(mono[None]))
+        codes = encode_fn(params, jnp.asarray(mono[None]))
         out[f'codes_{i}'] = np.asarray(codes)[0, :, :frames]
         meta.append({'path': str(path), 'frames': frames})
         total_sec += mono.shape[-1] / sr_model
     dt = time.perf_counter() - t0
 
     if args.stats:
-        print(f"pod tokenize: {len(args.inputs)} file(s), "
-              f"{total_sec:.1f} audio-sec over {mesh.shape['data']} device(s) "
-              f"in {dt:.2f} s", file=sys.stderr)
+        print(f"{label} tokenize: {len(args.inputs)} file(s), "
+              f"{total_sec:.1f} audio-sec{extra} in {dt:.2f} s",
+              file=sys.stderr)
     np.savez(args.out, meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
              **out)
     shapes = [v.shape for v in out.values()]
     print(f"wrote {shapes} tokens to {args.out}")
+
+
+def _tokenize_pod(args, model, params, sr_model):
+    """Whole-file time-parallel tokenization over every visible device."""
+    import jax
+    from jax.sharding import Mesh
+
+    from ..dist.pod import pod_encode
+
+    mesh = Mesh(np.array(jax.devices()), ('data',))
+    pod = jax.jit(lambda p, x: pod_encode(model, p, x, mesh))
+    _tokenize_wholefile(args, model, params, sr_model, pod, 'pod',
+                        extra=f" over {mesh.shape['data']} device(s)")
+
+
+def _tokenize_chunk(args, model, params, sr_model):
+    """Whole-file single-chip tokenization at ~one-window peak memory."""
+    from ..codec.chunked import chunked_encode
+
+    def enc(p, x):
+        return chunked_encode(model, p, x, chunk_frames=args.chunk_frames)[0]
+
+    _tokenize_wholefile(args, model, params, sr_model, enc, 'chunked')
 
 
 def main(argv=None):
@@ -99,6 +121,12 @@ def main(argv=None):
                         help='time-shard each whole file over all devices '
                              '(dist/pod.pod_encode); one codes_<i> entry '
                              'per input in the output npz')
+    parser.add_argument('--chunk', action='store_true',
+                        help='tokenize each whole file on one chip via '
+                             'sequential shifted windows (codec/chunked), '
+                             'token-exact at ~one-window peak memory')
+    parser.add_argument('--chunk-frames', type=int, default=1500,
+                        help='window length in frames for --chunk')
     args = parser.parse_args(argv)
 
     import jax
@@ -124,6 +152,9 @@ def main(argv=None):
 
     if args.pod:
         _tokenize_pod(args, model, params, sr_model)
+        return
+    if args.chunk:
+        _tokenize_chunk(args, model, params, sr_model)
         return
 
     seg = int(args.batch_seconds * sr_model)

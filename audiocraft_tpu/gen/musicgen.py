@@ -61,6 +61,12 @@ class MusicGen:
     # (PERF.md round-2 decode table); None = fp32 (the parity dtype, used by
     # the direct-LM parity tests)
     decode_dtype: tp.Optional[str] = 'bfloat16'
+    # long-form codec decode: token sequences beyond this many frames route
+    # through codec/chunked.chunked_decode (sequential shifted windows) —
+    # one monolithic XLA program for a 720 s decode peaks at ~33 GB of HBM
+    # activations on a 15.75 GB chip (PERF.md round-2f).  3000 frames = 60 s
+    # at 50 Hz, measured safe as one program; windows are 1500 frames.
+    decode_chunk_frames: int = 3000
 
     _progress_callback: tp.Optional[tp.Callable[[float, str], None]] = None
 
@@ -279,6 +285,14 @@ class MusicGen:
 
     def generate_audio(self, gen_tokens: jax.Array) -> jax.Array:
         assert gen_tokens.ndim == 3
+        if gen_tokens.shape[-1] > self.decode_chunk_frames:
+            from ..codec.chunked import chunked_decode
+            from ..codec.stereo import InterleaveStereoCompressionModel
+            if isinstance(self.compression_model,
+                          (EncodecModel, InterleaveStereoCompressionModel)):
+                return chunked_decode(
+                    self.compression_model, self.codec_params, gen_tokens,
+                    chunk_frames=self.decode_chunk_frames // 2)
         return self._codec_fn('decode')(self.codec_params, gen_tokens)
 
     # ------------------------------------------------------- token engine

@@ -385,6 +385,39 @@ def test_tokenize_cli_pod(tmp_path, capsys):
     np.testing.assert_array_equal(codes, np.asarray(ref)[0, :, :frames])
 
 
+def test_tokenize_cli_chunk(tmp_path, capsys):
+    """--chunk: whole-file single-chip windowed tokenization, token-exact
+    vs the whole-signal encode."""
+    from audiocraft_tpu.apps.tokenize import main as tok_main
+    from audiocraft_tpu.builders import get_debug_compression_model
+    from audiocraft_tpu.ckpt.io import save_checkpoint
+    from audiocraft_tpu.io.wav import wav_write
+
+    model = get_debug_compression_model(32000)
+    params = model.init(jax.random.PRNGKey(0))
+    ckpt = save_checkpoint(tmp_path / 'codec', model, params)
+
+    sr = 32000
+    t = np.arange(4 * sr) / sr
+    wav = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    wav_write(wav, tmp_path / 'long.wav', sr)
+
+    out = tmp_path / 'chunk.npz'
+    tok_main([str(tmp_path / 'long.wav'), '--out', str(out),
+              '--checkpoint', str(ckpt), '--chunk', '--chunk-frames', '24',
+              '--stats'])
+    with np.load(out) as z:
+        codes = z['codes_0']
+    hop = model.encoder.hop_length
+    frames = -(-wav.shape[-1] // hop)
+    assert codes.shape == (4, frames)
+    assert 'chunked tokenize:' in capsys.readouterr().err
+
+    import jax.numpy as jnp
+    ref, _ = model.encode(params, jnp.asarray(wav[None]))
+    np.testing.assert_array_equal(codes, np.asarray(ref)[0, :, :frames])
+
+
 def test_serve_quantized_service(tmp_path):
     from audiocraft_tpu.apps.serve import GenerationService
     service = GenerationService('debug', cache_dir=str(tmp_path),

@@ -56,6 +56,24 @@ def test_stride_extension_beyond_max_duration():
     assert wav.shape == (1, 1, 160000)
 
 
+def test_generate_audio_long_routes_chunked(mg):
+    """Token sequences beyond decode_chunk_frames route through the
+    chunked decode (the 720 s OOM path) and match the monolithic decode."""
+    card = mg.compression_model.cardinality
+    codes = jnp.asarray(np.random.RandomState(7).randint(
+        0, card, (1, mg.compression_model.num_codebooks, 90)), jnp.int32)
+    ref = mg.compression_model.decode(mg.codec_params, codes)
+    old = mg.decode_chunk_frames
+    try:
+        mg.decode_chunk_frames = 48
+        out = mg.generate_audio(codes)
+    finally:
+        mg.decode_chunk_frames = old
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=0)
+
+
 def test_stereo_facade_generate():
     """The stereo-* variant wiring: interleaved codec (2x codebooks) + an LM
     over the doubled stream, producing 2-channel audio end to end."""
