@@ -171,8 +171,18 @@ class MusicGen:
         if prompt is not None:
             assert len(descriptions) == prompt.shape[0], \
                 "Prompt and nb. descriptions doesn't match"
-            prompt_tokens, scale = self._codec_fn('encode')(
-                self.codec_params, prompt)
+            hop = int(self.sample_rate / self.frame_rate)
+            if (prompt.shape[-1] > self.decode_chunk_frames * hop
+                    and isinstance(self.compression_model, EncodecModel)):
+                # long prompts would OOM as one encode program (same memory
+                # wall as long decodes — PERF.md round-2f)
+                from ..codec.chunked import chunked_encode
+                prompt_tokens, scale = chunked_encode(
+                    self.compression_model, self.codec_params, prompt,
+                    chunk_frames=self.decode_chunk_frames // 2)
+            else:
+                prompt_tokens, scale = self._codec_fn('encode')(
+                    self.codec_params, prompt)
             assert scale is None
         else:
             prompt_tokens = None

@@ -25,7 +25,7 @@ def main():
     codec = get_encodec_32khz()
     codec_params = codec.init(jax.random.PRNGKey(1))
 
-    for B in (2, 8):
+    for B in (2, 8, 16, 32):
         rng = np.random.RandomState(0)
         cond = jnp.asarray(rng.randn(2 * B, 6, lm.dim).astype(np.float32))
         mask = jnp.ones((2 * B, 6), jnp.int32)

@@ -74,6 +74,23 @@ def test_generate_audio_long_routes_chunked(mg):
                                atol=2e-6, rtol=0)
 
 
+def test_long_prompt_encode_routes_chunked(mg):
+    """Continuation prompts beyond the chunk threshold encode through
+    chunked_encode (same OOM wall as long decodes) — token-identical to
+    the monolithic encode on hop-multiple prompts."""
+    hop = int(mg.sample_rate / mg.frame_rate)
+    prompt = jnp.asarray(np.random.RandomState(9).randn(1, 1, 40 * hop)
+                         .astype(np.float32) * 0.1)
+    ref, _ = mg.compression_model.encode(mg.codec_params, prompt)
+    old = mg.decode_chunk_frames
+    try:
+        mg.decode_chunk_frames = 32
+        _, tokens = mg._prepare_tokens_and_attributes(['x'], prompt)
+    finally:
+        mg.decode_chunk_frames = old
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(ref))
+
+
 def test_stereo_facade_generate():
     """The stereo-* variant wiring: interleaved codec (2x codebooks) + an LM
     over the doubled stream, producing 2-channel audio end to end."""
