@@ -67,6 +67,11 @@ class MusicGen:
     # activations on a 15.75 GB chip (PERF.md round-2f).  3000 frames = 60 s
     # at 50 Hz, measured safe as one program; windows are 1500 frames.
     decode_chunk_frames: int = 3000
+    # KV-cache storage dtype: 'int8' halves the decode step's dominant HBM
+    # read at serving batch (PERF.md round-2f: KV bytes ~5x the int8 weight
+    # bytes at B=32) at ~1 % attention-output noise; None stores the cache
+    # in the decode compute dtype (the parity path)
+    kv_dtype: tp.Optional[str] = None
 
     _progress_callback: tp.Optional[tp.Callable[[float, str], None]] = None
 
@@ -323,13 +328,14 @@ class MusicGen:
         sig = (num_samples, prompt_len, max_gen_len, self.use_sampling,
                self.temperature, self.top_k, self.top_p, self.cfg_coef,
                self.cfg_coef_beta, self.two_step_cfg, str(decode_dtype),
-               isinstance(condition_tensors, tuple))
+               self.kv_dtype, isinstance(condition_tensors, tuple))
         cache = self.__dict__.setdefault('_gen_jit_cache', {})
         if sig not in cache:
             lm = self.lm
             use_sampling, temp = self.use_sampling, self.temperature
             top_k, top_p, cfg_coef = self.top_k, self.top_p, self.cfg_coef
             cfg_coef_beta, two_step = self.cfg_coef_beta, self.two_step_cfg
+            kv_dtype = self.kv_dtype
 
             if prompt_len == 0:
                 def fn(params, key, cond):
@@ -339,7 +345,7 @@ class MusicGen:
                         use_sampling=use_sampling, temp=temp, top_k=top_k,
                         top_p=top_p, cfg_coef=cfg_coef,
                         cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step,
-                        compute_dtype=decode_dtype)
+                        compute_dtype=decode_dtype, kv_dtype=kv_dtype)
             else:
                 def fn(params, key, cond, prompt):
                     return lm.generate(
@@ -348,7 +354,7 @@ class MusicGen:
                         use_sampling=use_sampling, temp=temp, top_k=top_k,
                         top_p=top_p, cfg_coef=cfg_coef,
                         cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step,
-                        compute_dtype=decode_dtype)
+                        compute_dtype=decode_dtype, kv_dtype=kv_dtype)
             cache[sig] = jax.jit(fn)
         if prompt_len == 0:
             return cache[sig](self.lm_params, key, condition_tensors)

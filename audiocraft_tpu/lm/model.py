@@ -149,8 +149,10 @@ class LMModel:
             out['bias'] = jnp.zeros((self.n_q, self.card))
         return out
 
-    def init_cache(self, batch: int, capacity: int, dtype=jnp.float32):
-        return self.transformer.init_cache(batch, capacity, dtype)
+    def init_cache(self, batch: int, capacity: int, dtype=jnp.float32,
+                   kv_dtype: tp.Optional[str] = None):
+        return self.transformer.init_cache(batch, capacity, dtype,
+                                           kv_dtype=kv_dtype)
 
     # --------------------------------------------------------------- forward
     def embed_sequence(self, params: dict, sequence: jax.Array) -> jax.Array:
@@ -268,6 +270,7 @@ class LMModel:
                  two_step_cfg: tp.Optional[bool] = None,
                  remove_prompts: bool = False,
                  compute_dtype: tp.Optional[tp.Any] = None,
+                 kv_dtype: tp.Optional[str] = None,
                  ) -> jax.Array:
         """AR generation over the pattern sequence (reference lm.py:420-588).
 
@@ -364,8 +367,8 @@ class LMModel:
                 params['transformer'], cross_src)
 
         if is_two_step and has_cfg:
-            caches = (self.init_cache(B, capacity, cache_dtype),
-                      self.init_cache(B, capacity, cache_dtype))
+            caches = (self.init_cache(B, capacity, cache_dtype, kv_dtype),
+                      self.init_cache(B, capacity, cache_dtype, kv_dtype))
             cross_kv_cond = make_cross_kv(condition_tensors, B)
             cross_kv_null = make_cross_kv(null_tensors, B)
 
@@ -380,7 +383,8 @@ class LMModel:
                 logits = uncond_logits + (cond_logits - uncond_logits) * cfg_coef
                 return logits, (cond_caches, null_caches)
         else:
-            caches = self.init_cache(model_batch, capacity, cache_dtype)
+            caches = self.init_cache(model_batch, capacity, cache_dtype,
+                                     kv_dtype)
             cross_kv = make_cross_kv(condition_tensors, model_batch)
 
             def model_step(seq_chunk, caches, first_step):

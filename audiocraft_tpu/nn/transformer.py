@@ -62,17 +62,45 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array,
 
 @struct.dataclass
 class KVCache:
-    """Fixed-capacity streaming KV cache for one attention module."""
-    k: jax.Array      # [B, Tmax, H, Dh]
+    """Fixed-capacity streaming KV cache for one attention module.
+
+    Optional int8 storage (``create(..., quantized=True)``): k/v are stored
+    as symmetric per-position-per-head int8 with fp32 scales.  At serving
+    batch the KV reads dominate the decode step's HBM traffic (PERF.md
+    round-2f: ~5x the int8 weight bytes at B=32), so halving the cache
+    bytes vs bf16 is the remaining bandwidth lever; both attention matmuls
+    read the int8 tensors directly (scales fold into the logits and the
+    pre-quantized probability matrix respectively — see ``_attend_int8``).
+    """
+    k: jax.Array      # [B, Tmax, H, Dh] float — or int8 when quantized
     v: jax.Array      # [B, Tmax, H, Dh]
     index: jax.Array  # [] int32 — number of valid positions
+    k_scale: tp.Optional[jax.Array] = None  # [B, Tmax, H] fp32 (quantized)
+    v_scale: tp.Optional[jax.Array] = None
 
     @classmethod
     def create(cls, batch: int, capacity: int, num_heads: int, head_dim: int,
-               dtype=jnp.float32) -> "KVCache":
+               dtype=jnp.float32, quantized: bool = False) -> "KVCache":
+        if quantized:
+            shape = (batch, capacity, num_heads, head_dim)
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       index=jnp.zeros((), jnp.int32),
+                       k_scale=jnp.zeros(shape[:3], jnp.float32),
+                       v_scale=jnp.zeros(shape[:3], jnp.float32))
         return cls(k=jnp.zeros((batch, capacity, num_heads, head_dim), dtype),
                    v=jnp.zeros((batch, capacity, num_heads, head_dim), dtype),
                    index=jnp.zeros((), jnp.int32))
+
+
+def _kv_quantize(x: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
+    """Symmetric int8 per (batch, position, head): x [B, T, H, D] ->
+    (int8 [B, T, H, D], fp32 scale [B, T, H])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-20)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 
@@ -204,6 +232,35 @@ class StreamingMultiheadAttention:
                          preferred_element_type=jnp.float32)
         return out.astype(dtype)
 
+    def _attend_int8(self, q: jax.Array, kq: jax.Array, ks: jax.Array,
+                     vq: jax.Array, vs: jax.Array,
+                     mask: tp.Optional[jax.Array]) -> jax.Array:
+        """int8-KV attention: q [B, Tq, H, D] float; kq/vq int8
+        [B, Tk, H, D] with fp32 scales ks/vs [B, Tk, H].
+
+        Both big matmuls stream int8 from HBM and upcast in the dot
+        (integer-accumulation dots lower catastrophically on this backend —
+        measured 2.5x slower end-to-end; the convert-into-dot form keeps
+        the MXU in its native float path).  Per-position scales recombine
+        outside the dots: on the [B,H,Tq,Tk] logits for K, folded into the
+        probability matrix for V.  fp32 softmax throughout; quantization
+        noise is ~0.5 % relative on the attention output."""
+        dtype = q.dtype
+        scale = 1.0 / math.sqrt(self.head_dim)
+        cdtype = dtype if dtype != jnp.float32 else jnp.float32
+        logits = jnp.einsum('bthd,bkhd->bhtk', (q * scale).astype(cdtype),
+                            kq.astype(cdtype),
+                            preferred_element_type=jnp.float32)
+        logits = logits * ks.transpose(0, 2, 1)[:, :, None, :]
+        if mask is not None:
+            logits = logits + mask
+        w = jax.nn.softmax(logits, axis=-1)
+        wv = w * vs.transpose(0, 2, 1)[:, :, None, :]   # fold V scales
+        out = jnp.einsum('bhtk,bkhd->bthd', wv.astype(cdtype),
+                         vq.astype(cdtype),
+                         preferred_element_type=jnp.float32)
+        return out.astype(dtype)
+
     def __call__(self, params: dict, query: jax.Array,
                  key: tp.Optional[jax.Array] = None,
                  value: tp.Optional[jax.Array] = None,
@@ -267,12 +324,29 @@ class StreamingMultiheadAttention:
             k = self.rope.rotate(k, kpos, invert_decay=True)
 
         new_cache = None
+        quant_kv = None
         if cache is not None:
-            kc = lax.dynamic_update_slice(cache.k, k.astype(cache.k.dtype),
-                                          (0, past_len, 0, 0))
-            vc = lax.dynamic_update_slice(cache.v, v.astype(cache.v.dtype),
-                                          (0, past_len, 0, 0))
-            new_cache = KVCache(k=kc, v=vc, index=past_len + Tq)
+            if cache.k_scale is not None:
+                # int8 KV: quantize the new positions, append values+scales
+                kq_new, ks_new = _kv_quantize(k)
+                vq_new, vs_new = _kv_quantize(v)
+                kc = lax.dynamic_update_slice(cache.k, kq_new,
+                                              (0, past_len, 0, 0))
+                vc = lax.dynamic_update_slice(cache.v, vq_new,
+                                              (0, past_len, 0, 0))
+                ksc = lax.dynamic_update_slice(cache.k_scale, ks_new,
+                                               (0, past_len, 0))
+                vsc = lax.dynamic_update_slice(cache.v_scale, vs_new,
+                                               (0, past_len, 0))
+                new_cache = KVCache(k=kc, v=vc, index=past_len + Tq,
+                                    k_scale=ksc, v_scale=vsc)
+                quant_kv = [kc, ksc, vc, vsc]
+            else:
+                kc = lax.dynamic_update_slice(
+                    cache.k, k.astype(cache.k.dtype), (0, past_len, 0, 0))
+                vc = lax.dynamic_update_slice(
+                    cache.v, v.astype(cache.v.dtype), (0, past_len, 0, 0))
+                new_cache = KVCache(k=kc, v=vc, index=past_len + Tq)
             k_full, v_full = kc, vc
             Tk = kc.shape[1]
             kpos_full = jnp.arange(Tk)
@@ -306,13 +380,19 @@ class StreamingMultiheadAttention:
                 attn_mask = mask if attn_mask is None else mask + attn_mask
 
         if self.kv_repeat > 1:
-            k = jnp.repeat(k, self.kv_repeat, axis=2)
-            v = jnp.repeat(v, self.kv_repeat, axis=2)
+            if quant_kv is not None:
+                quant_kv = [jnp.repeat(a, self.kv_repeat, axis=2)
+                            for a in quant_kv]
+            else:
+                k = jnp.repeat(k, self.kv_repeat, axis=2)
+                v = jnp.repeat(v, self.kv_repeat, axis=2)
 
         if use_kernel:
             from ..ops.attention_pallas import fused_attention
             out = fused_attention(q, k, v, causal=self.causal,
                                   sm_scale=1.0 / math.sqrt(self.head_dim))
+        elif quant_kv is not None:
+            out = self._attend_int8(q, *quant_kv, attn_mask)
         else:
             out = self._attend(q, k, v, attn_mask)
         out = out.reshape(B, Tq, E)
@@ -505,16 +585,23 @@ class StreamingTransformer:
         return {f'layer{i}': self.layer.init(keys[i])
                 for i in range(self.num_layers)}
 
-    def init_cache(self, batch: int, capacity: int, dtype=jnp.float32):
+    def init_cache(self, batch: int, capacity: int, dtype=jnp.float32,
+                   kv_dtype: tp.Optional[str] = None):
+        """``kv_dtype='int8'`` stores the caches quantized (halves the KV
+        HBM traffic, the dominant decode cost at serving batch — PERF.md);
+        None keeps float caches in ``dtype``."""
         head_dim = self.d_model // self.num_heads
         kv_heads = self.num_heads // self.kv_repeat
+        quantized = kv_dtype == 'int8'
         if self.scan_layers:
             # one stacked cache: [L, B, T, H, Dh] (+ index [L])
-            single = KVCache.create(batch, capacity, kv_heads, head_dim, dtype)
+            single = KVCache.create(batch, capacity, kv_heads, head_dim,
+                                    dtype, quantized=quantized)
             return jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (self.num_layers,) + a.shape),
                 single)
-        return tuple(KVCache.create(batch, capacity, kv_heads, head_dim, dtype)
+        return tuple(KVCache.create(batch, capacity, kv_heads, head_dim,
+                                    dtype, quantized=quantized)
                      for _ in range(self.num_layers))
 
     def stack_params(self, params: dict) -> dict:

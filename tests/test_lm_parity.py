@@ -263,6 +263,35 @@ def test_int8_weight_only_quantization():
     assert (np.asarray(ta) == np.asarray(tb)).all()
 
 
+def test_int8_kv_cache_decode():
+    """int8 KV-cache decode (nn/transformer KVCache quantized storage):
+    greedy tokens track the float-cache decode on the parity model (small
+    quantization noise can only flip near-tie argmaxes) and the prompted
+    path runs."""
+    ref = _make_ref_lm()
+    ours = _make_our_lm()
+    params = _import(ref, ours)
+    cond, mask = _cond(4)
+    ct = {"description": (jnp.asarray(cond), jnp.asarray(mask))}
+    ta = ours.generate(params, jax.random.PRNGKey(3), condition_tensors=ct,
+                       num_samples=2, max_gen_len=9, use_sampling=False)
+    tb = ours.generate(params, jax.random.PRNGKey(3), condition_tensors=ct,
+                       num_samples=2, max_gen_len=9, use_sampling=False,
+                       kv_dtype='int8')
+    a, b = np.asarray(ta), np.asarray(tb)
+    assert b.shape == a.shape
+    assert ((0 <= b) & (b < CARD)).all()
+    # near-complete greedy agreement; quantization may flip rare ties
+    assert (a == b).mean() > 0.9, (a == b).mean()
+    # prompted (prefill) path
+    prompt = jnp.asarray(np.random.RandomState(5).randint(
+        0, CARD, size=(2, N_Q, 3)))
+    tc = ours.generate(params, jax.random.PRNGKey(4), condition_tensors=ct,
+                       num_samples=2, max_gen_len=9, prompt=prompt,
+                       use_sampling=False, kv_dtype='int8')
+    assert np.asarray(tc).shape == (2, N_Q, 9)
+
+
 def test_int4_weight_only_quantization():
     """Weight-only int4 with input-group scales (lm/quantize.py): matmul-site
     dequant agrees with the explicit dequantized weights, logits stay within

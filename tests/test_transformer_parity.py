@@ -100,6 +100,33 @@ def test_streaming_decode_equals_batch(pos):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("pos", ["sin", "rope"])
+def test_streaming_decode_int8_kv_close_to_float(pos):
+    """int8 KV-cache decode (the serving-batch bandwidth lever) tracks the
+    float-cache decode within quantization noise, prefill included."""
+    d_model, heads, layers, T, B = 32, 4, 2, 12, 2
+    ours = StreamingTransformer(
+        d_model=d_model, num_heads=heads, num_layers=layers, causal=True,
+        positional_embedding=pos, norm_first=True, activation='gelu')
+    params = ours.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, d_model))
+    y_full, _ = ours(params, x)
+
+    caches = ours.init_cache(B, T, kv_dtype='int8')
+    assert caches[0].k.dtype == jnp.int8 and caches[0].k_scale is not None
+    # prefill 5 steps at once, then step one at a time
+    y0, caches = ours(params, x[:, :5], caches=caches)
+    outs = [y0]
+    for t in range(5, T):
+        y_t, caches = ours(params, x[:, t:t + 1], caches=caches)
+        outs.append(y_t)
+    y_stream = jnp.concatenate(outs, axis=1)
+    err = np.abs(np.asarray(y_stream) - np.asarray(y_full))
+    ref_scale = np.abs(np.asarray(y_full)).mean()
+    assert err.mean() / ref_scale < 0.02, (err.mean(), ref_scale)
+    assert err.max() / ref_scale < 0.2, (err.max(), ref_scale)
+
+
 def test_streaming_decode_with_past_context():
     d_model, heads, layers, T, B = 16, 2, 1, 12, 1
     ours = StreamingTransformer(
