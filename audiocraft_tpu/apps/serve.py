@@ -148,11 +148,15 @@ class GenerationService:
     def __init__(self, default_model: str = 'debug',
                  cache_dir: tp.Optional[str] = None,
                  quantize: tp.Union[bool, str] = False,
-                 batch_window_ms: float = 0.0, max_batch: int = 8):
+                 batch_window_ms: float = 0.0, max_batch: int = 8,
+                 kv_dtype: tp.Optional[str] = None):
         self.default_model = default_model
         self.cache_dir = cache_dir
         # False | 'int8' | 'int4' (True kept as an alias for 'int8')
         self.quantize = 'int8' if quantize is True else quantize
+        # 'int8' stores decode KV caches quantized (PERF.md: +14 % e2e
+        # generate at B=2 on top of int8 weights); None = float caches
+        self.kv_dtype = kv_dtype
         self.lock = threading.Lock()
         self.current_name = default_model
         self.batcher = (_Batcher(self, batch_window_ms / 1e3, max_batch)
@@ -182,6 +186,9 @@ class GenerationService:
         if self.quantize and not self._lm_is_quantized(model):
             # weight-only int8/int4 decode (PERF.md: int8 is 1.38x over bf16)
             model.quantize_lm_weights(mode=self.quantize)
+        if self.kv_dtype and model.kv_dtype != self.kv_dtype:
+            model.kv_dtype = self.kv_dtype
+            model.__dict__.pop('_gen_jit_cache', None)
         self.current_name = name
         return model
 
@@ -400,12 +407,16 @@ def main(argv=None):
                              'into one batched generate (0 = off)')
     parser.add_argument('--max-batch', type=int, default=8,
                         help='max requests per coalesced batch')
+    parser.add_argument('--kv-int8', action='store_true',
+                        help='int8 KV-cache decode (+14%% e2e generate at '
+                             'B=2 on top of --quantize int8; see PERF.md)')
     args = parser.parse_args(argv)
 
     service = GenerationService(args.model, args.cache_dir,
                                 quantize=args.quantize,
                                 batch_window_ms=args.batch_window,
-                                max_batch=args.max_batch)
+                                max_batch=args.max_batch,
+                                kv_dtype='int8' if args.kv_int8 else None)
     service._get_model(args.model)  # fail fast + warm the cache
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service))

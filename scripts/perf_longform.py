@@ -43,7 +43,7 @@ def build():
                      codec_params=codec.init(k1), lm=lm,
                      lm_params=lm.init(k2), condition_provider=provider,
                      cond_params=provider.init(k3), max_duration=30.0)
-    model.quantize_lm_weights('int8')
+    model.optimize_for_serving()   # int8 weights + int8 KV + bf16 decode
     return model
 
 

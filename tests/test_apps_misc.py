@@ -431,6 +431,31 @@ def test_serve_quantized_service(tmp_path):
     clear_model_cache()
 
 
+def test_serve_kv_int8_service(tmp_path):
+    """--kv-int8 path: the served model decodes with quantized KV caches
+    (kv_dtype threaded through GenerationService._get_model) and the
+    optimize_for_serving facade recipe applies weights+KV in one call."""
+    from audiocraft_tpu.apps.serve import GenerationService
+    service = GenerationService('debug', cache_dir=str(tmp_path),
+                                quantize=True, kv_dtype='int8')
+    result = service.generate({'text': 'kv tune', 'duration': 0.5, 'seed': 4})
+    assert np.isfinite(result['wav']).all()
+    from audiocraft_tpu.ckpt.loaders import _MODEL_CACHE, clear_model_cache
+    model = _MODEL_CACHE['debug']
+    assert model.kv_dtype == 'int8'
+    clear_model_cache()
+
+    from audiocraft_tpu.gen.musicgen import get_debug_musicgen
+    mg = get_debug_musicgen()
+    mg.optimize_for_serving()
+    assert mg.kv_dtype == 'int8'
+    w = mg.lm_params['transformer']['layer0']['self_attn']['in_proj_weight']
+    assert isinstance(w, dict) and 'q' in w
+    mg.set_generation_params(duration=0.5, use_sampling=False)
+    wav = mg.generate(['kv tune'])
+    assert np.isfinite(np.asarray(wav)).all()
+
+
 def test_serve_continuous_batching(tmp_path, monkeypatch):
     """Concurrent compatible requests coalesce into ONE facade generate
     call; incompatible params split batches; errors surface per request."""
