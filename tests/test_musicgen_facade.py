@@ -56,6 +56,42 @@ def test_stride_extension_beyond_max_duration():
     assert wav.shape == (1, 1, 160000)
 
 
+def test_stride_extension_batched():
+    """Batched long-form: the stride-extension window loop must carry B>1
+    streams (the serving-farm configuration, scripts/perf_longform_batch.py)
+    with per-stream conditioning intact and exact sample counts."""
+    mg = get_debug_musicgen(jax.random.PRNGKey(8))
+    mg.max_duration = 2.0
+    mg.set_generation_params(duration=5.0, extend_stride=1.0, top_k=50)
+    wav, tokens = mg.generate(['tune one', 'tune two', 'tune three'],
+                              key=jax.random.PRNGKey(9), return_tokens=True)
+    assert tokens.shape == (3, mg.compression_model.num_codebooks,
+                            int(5.0 * mg.frame_rate))
+    assert wav.shape == (3, 1, 160000)
+    assert np.isfinite(np.asarray(wav)).all()
+    # distinct conditioning + per-stream sampling -> distinct streams
+    t = np.asarray(tokens)
+    assert (t[0] != t[1]).any() and (t[1] != t[2]).any()
+
+
+def test_generate_audio_long_routes_chunked_batched(mg):
+    """Chunked decode at B>1 (batched 720 s-class requests) matches the
+    monolithic decode for every stream."""
+    card = mg.compression_model.cardinality
+    codes = jnp.asarray(np.random.RandomState(11).randint(
+        0, card, (3, mg.compression_model.num_codebooks, 90)), jnp.int32)
+    ref = mg.compression_model.decode(mg.codec_params, codes)
+    old = mg.decode_chunk_frames
+    try:
+        mg.decode_chunk_frames = 48
+        out = mg.generate_audio(codes)
+    finally:
+        mg.decode_chunk_frames = old
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=0)
+
+
 def test_generate_audio_long_routes_chunked(mg):
     """Token sequences beyond decode_chunk_frames route through the
     chunked decode (the 720 s OOM path) and match the monolithic decode."""
