@@ -188,6 +188,9 @@ class GenerationService:
             model.quantize_lm_weights(mode=self.quantize)
         if self.kv_dtype and model.kv_dtype != self.kv_dtype:
             model.kv_dtype = self.kv_dtype
+            # bucketed KV growth rides along with the quantized-cache serving
+            # recipe (token-exact; see MusicGen.optimize_for_serving)
+            model.kv_buckets = 'auto'
             model.__dict__.pop('_gen_jit_cache', None)
         self.current_name = name
         return model

@@ -72,6 +72,12 @@ class MusicGen:
     # bytes at B=32) at ~1 % attention-output noise; None stores the cache
     # in the decode compute dtype (the parity path)
     kv_dtype: tp.Optional[str] = None
+    # bucketed KV-cache growth ('auto' | capacity list | None): the decode
+    # scan runs in segments of doubling cache capacity so early steps stop
+    # streaming a full-length, mostly-masked KV buffer from HBM — token-exact
+    # (lm/model.py kv_buckets / nn/transformer.grow_cache); None keeps the
+    # single full-capacity buffer (the parity path)
+    kv_buckets: tp.Union[None, str, tp.Sequence[int]] = None
 
     _progress_callback: tp.Optional[tp.Callable[[float, str], None]] = None
 
@@ -130,9 +136,12 @@ class MusicGen:
         10 s e2e generate 30.2x vs 26.5x aggregate realtime at B=2), and the
         bf16 decode/codec compute dtypes (already the facade defaults).
         One-way for the weights; fp32 parity paths remain available by
-        constructing a fresh facade."""
+        constructing a fresh facade.  Also enables bucketed KV-cache growth
+        (token-exact — cuts the mostly-masked early-step KV reads on long
+        windows)."""
         self.quantize_lm_weights(mode=weight_mode)
         self.kv_dtype = kv_dtype
+        self.kv_buckets = 'auto'
         self.__dict__.pop('_gen_jit_cache', None)
 
     def set_style_conditioner_params(self, eval_q: int = 3,
@@ -338,10 +347,14 @@ class MusicGen:
         decode_dtype = None
         if self.decode_dtype is not None and jax.default_backend() == 'tpu':
             decode_dtype = jnp.dtype(self.decode_dtype)
+        kv_buckets = self.kv_buckets
+        if kv_buckets is not None and kv_buckets != 'auto':
+            kv_buckets = tuple(kv_buckets)
         sig = (num_samples, prompt_len, max_gen_len, self.use_sampling,
                self.temperature, self.top_k, self.top_p, self.cfg_coef,
                self.cfg_coef_beta, self.two_step_cfg, str(decode_dtype),
-               self.kv_dtype, isinstance(condition_tensors, tuple))
+               self.kv_dtype, kv_buckets,
+               isinstance(condition_tensors, tuple))
         cache = self.__dict__.setdefault('_gen_jit_cache', {})
         if sig not in cache:
             lm = self.lm
@@ -358,7 +371,8 @@ class MusicGen:
                         use_sampling=use_sampling, temp=temp, top_k=top_k,
                         top_p=top_p, cfg_coef=cfg_coef,
                         cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step,
-                        compute_dtype=decode_dtype, kv_dtype=kv_dtype)
+                        compute_dtype=decode_dtype, kv_dtype=kv_dtype,
+                        kv_buckets=kv_buckets)
             else:
                 def fn(params, key, cond, prompt):
                     return lm.generate(
@@ -367,7 +381,8 @@ class MusicGen:
                         use_sampling=use_sampling, temp=temp, top_k=top_k,
                         top_p=top_p, cfg_coef=cfg_coef,
                         cfg_coef_beta=cfg_coef_beta, two_step_cfg=two_step,
-                        compute_dtype=decode_dtype, kv_dtype=kv_dtype)
+                        compute_dtype=decode_dtype, kv_dtype=kv_dtype,
+                        kv_buckets=kv_buckets)
             cache[sig] = jax.jit(fn)
         if prompt_len == 0:
             return cache[sig](self.lm_params, key, condition_tensors)

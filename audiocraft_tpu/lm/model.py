@@ -31,9 +31,60 @@ from jax import lax
 from flax import struct
 
 from ..cond.fuser import ConditionFuser, ConditionType
-from ..nn.transformer import KVCache, StreamingTransformer, layer_norm
+from ..nn.transformer import (KVCache, StreamingTransformer, grow_cache,
+                              layer_norm)
 from ..patterns.pattern import CodebooksPatternProvider
 from .sampling import sample_token
+
+
+def _plan_cache_segments(first: int, S: int, prepend_len: int,
+                         capacities: tp.Sequence[int]
+                         ) -> tp.List[tp.Tuple[int, int, int]]:
+    """Split the decode offsets ``[first, S)`` into segments of growing KV
+    capacity: ``[(start, end, capacity), ...]``.
+
+    The step at offset ``o`` writes cache position ``prepend_len + o - 1``,
+    so a segment running under capacity ``c`` may cover offsets
+    ``o <= c - prepend_len`` (strictly ``prepend_len + o - 1 < c``).  The
+    first segment must additionally hold the prefill (``prepend_len + first``
+    positions).  Capacities are used in ascending order; the full capacity
+    ``S + prepend_len`` is always appended as the final bucket."""
+    full = S + prepend_len
+    caps = sorted({int(c) for c in capacities if int(c) < full}) + [full]
+    # drop buckets too small for the prefill + first step write
+    caps = [c for c in caps if c >= prepend_len + first] or [full]
+    segs: tp.List[tp.Tuple[int, int, int]] = []
+    start = first
+    for c in caps:
+        if start >= S:
+            break
+        end = S if c >= full else min(S, c - prepend_len + 1)
+        if end > start:
+            segs.append((start, end, c))
+            start = end
+    if not segs:                       # prompt == max_gen_len: prefill only
+        segs = [(first, S, caps[0])]
+    if segs[-1][1] < S:
+        segs.append((segs[-1][1], S, full))
+    return segs
+
+
+def _auto_capacities(full: int, min_bucket: int = 256) -> tp.List[int]:
+    """Doubling bucket ladder below ``full`` (256, 512, 1024, ...).
+
+    Engages only when the full capacity is >= 1024: measured on-chip
+    (scripts/perf_kv_buckets.py) the ladder is 1.19x end-to-end on 30 s
+    stride windows (S=1553: 45.5 -> 38.3 s for a B=8 120 s long-form
+    request) but a ~3 % wash at 10 s clips (S~503), where the grow copies
+    and extra scan programs cost what the small masked reads save."""
+    if full < 1024:
+        return []
+    caps = []
+    c = min_bucket
+    while c < full:
+        caps.append(c)
+        c *= 2
+    return caps
 
 
 @struct.dataclass
@@ -271,6 +322,7 @@ class LMModel:
                  remove_prompts: bool = False,
                  compute_dtype: tp.Optional[tp.Any] = None,
                  kv_dtype: tp.Optional[str] = None,
+                 kv_buckets: tp.Union[None, str, tp.Sequence[int]] = None,
                  ) -> jax.Array:
         """AR generation over the pattern sequence (reference lm.py:420-588).
 
@@ -284,6 +336,13 @@ class LMModel:
           forwards per step with independent KV caches (the reference's
           streaming-state swap trick, lm.py:378-387, becomes two explicit
           cache pytrees).
+
+        ``kv_buckets``: bucketed KV-cache growth — run the decode scan in
+        segments of doubling cache capacity instead of one full-capacity
+        buffer, cutting the dominant per-step KV read traffic at long
+        sequence lengths (token-exact; see nn/transformer.grow_cache).
+        ``'auto'`` uses a 256/512/1024/... ladder; a sequence gives explicit
+        capacities; None (default, the parity path) keeps one buffer.
 
         Returns codes [B, K, max_gen_len] (prompt included unless
         ``remove_prompts``).
@@ -354,6 +413,13 @@ class LMModel:
                 if name in condition_tensors:
                     prepend_len += condition_tensors[name][0].shape[1]
         capacity = S + prepend_len
+        if kv_buckets is None:
+            segments = [(start_offset_sequence + 1, S, capacity)]
+        else:
+            caps = (_auto_capacities(capacity) if kv_buckets == 'auto'
+                    else kv_buckets)
+            segments = _plan_cache_segments(start_offset_sequence + 1, S,
+                                            prepend_len, caps)
         cache_dtype = compute_dtype or jnp.float32
 
         def make_cross_kv(tensors, batch):
@@ -366,9 +432,10 @@ class LMModel:
             return self.transformer.precompute_cross_kv(
                 params['transformer'], cross_src)
 
+        init_capacity = segments[0][2]
         if is_two_step and has_cfg:
-            caches = (self.init_cache(B, capacity, cache_dtype, kv_dtype),
-                      self.init_cache(B, capacity, cache_dtype, kv_dtype))
+            caches = (self.init_cache(B, init_capacity, cache_dtype, kv_dtype),
+                      self.init_cache(B, init_capacity, cache_dtype, kv_dtype))
             cross_kv_cond = make_cross_kv(condition_tensors, B)
             cross_kv_null = make_cross_kv(null_tensors, B)
 
@@ -383,7 +450,7 @@ class LMModel:
                 logits = uncond_logits + (cond_logits - uncond_logits) * cfg_coef
                 return logits, (cond_caches, null_caches)
         else:
-            caches = self.init_cache(model_batch, capacity, cache_dtype,
+            caches = self.init_cache(model_batch, init_capacity, cache_dtype,
                                      kv_dtype)
             cross_kv = make_cross_kv(condition_tensors, model_batch)
 
@@ -429,10 +496,15 @@ class LMModel:
                                        logits[:, :, -1, :], keys[offset])
             return (gen_sequence, caches), None
 
-        offsets = jnp.arange(S0 + 1, S)
-        if S0 + 1 < S:
-            (gen_sequence, caches), _ = lax.scan(
-                step, (gen_sequence, caches), offsets)
+        current_capacity = init_capacity
+        for seg_start, seg_end, seg_capacity in segments:
+            if seg_capacity > current_capacity:
+                caches = grow_cache(caches, seg_capacity)
+                current_capacity = seg_capacity
+            if seg_start < seg_end:
+                (gen_sequence, caches), _ = lax.scan(
+                    step, (gen_sequence, caches),
+                    jnp.arange(seg_start, seg_end))
 
         # ---- revert pattern --------------------------------------------
         out_codes, _, out_mask = pattern.revert_pattern_sequence(

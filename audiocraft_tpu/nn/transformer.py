@@ -93,6 +93,44 @@ class KVCache:
                    index=jnp.zeros((), jnp.int32))
 
 
+def grow_cache(caches, new_capacity: int):
+    """Pad the time axis of every ``KVCache`` in a pytree to ``new_capacity``
+    (zero-fill at the end; ``index`` unchanged).
+
+    This is the bucketed-decode primitive (lm/model.py ``kv_buckets``): the
+    attention einsums read the WHOLE fixed-size cache buffer every step, so
+    decoding the early steps of a long sequence against a full-length buffer
+    streams mostly masked zeros from HBM.  Running the decode scan in
+    segments of doubling capacity keeps every shape static per segment while
+    cutting the dominant KV read traffic roughly in half over the sequence.
+    Exactness: padded positions carry kpos >= index so the causal mask sets
+    their logits to -inf (and on the int8 path their scales are 0), making
+    the bucketed softmax bit-identical to the full-capacity one."""
+    def grow_one(c: KVCache) -> KVCache:
+        cap = c.k.shape[-3]
+        pad = new_capacity - cap
+        if pad <= 0:
+            return c
+
+        def pad_kv(a):   # [..., T, H, D]
+            cfg = [(0, 0)] * a.ndim
+            cfg[-3] = (0, pad)
+            return jnp.pad(a, cfg)
+
+        def pad_sc(a):   # [..., T, H]
+            cfg = [(0, 0)] * a.ndim
+            cfg[-2] = (0, pad)
+            return jnp.pad(a, cfg)
+
+        return KVCache(
+            k=pad_kv(c.k), v=pad_kv(c.v), index=c.index,
+            k_scale=None if c.k_scale is None else pad_sc(c.k_scale),
+            v_scale=None if c.v_scale is None else pad_sc(c.v_scale))
+
+    return jax.tree.map(grow_one, caches,
+                        is_leaf=lambda x: isinstance(x, KVCache))
+
+
 def _kv_quantize(x: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
     """Symmetric int8 per (batch, position, head): x [B, T, H, D] ->
     (int8 [B, T, H, D], fp32 scale [B, T, H])."""

@@ -292,6 +292,79 @@ def test_int8_kv_cache_decode():
     assert np.asarray(tc).shape == (2, N_Q, 9)
 
 
+def test_kv_buckets_token_exact():
+    """Bucketed KV-cache growth (kv_buckets) is token-EXACT vs the single
+    full-capacity buffer: padded cache positions are causally masked to
+    -inf so every segment's softmax is bit-identical.  Covers sampled +
+    greedy, prompted + unprompted, float + int8 caches, and the segment
+    planner's arithmetic."""
+    from audiocraft_tpu.lm.model import _plan_cache_segments
+
+    ours = _make_our_lm()
+    params = ours.init(jax.random.PRNGKey(0))
+    cond, mask = _cond(4)
+    ct = {"description": (jnp.asarray(cond), jnp.asarray(mask))}
+
+    for kv_dtype in (None, 'int8'):
+        for prompt_len in (0, 5):
+            prompt = None
+            if prompt_len:
+                prompt = jnp.asarray(np.random.RandomState(6).randint(
+                    0, CARD, size=(2, N_Q, prompt_len)))
+            kw = dict(condition_tensors=ct, num_samples=2, max_gen_len=24,
+                      prompt=prompt, use_sampling=True, top_k=20,
+                      kv_dtype=kv_dtype)
+            ta = ours.generate(params, jax.random.PRNGKey(3), **kw)
+            tb = ours.generate(params, jax.random.PRNGKey(3),
+                               kv_buckets=(8, 16), **kw)
+            np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+    # greedy + 'auto' ladder (auto buckets are >= 256, so force tiny ones too)
+    ta = ours.generate(params, jax.random.PRNGKey(5), condition_tensors=ct,
+                       num_samples=2, max_gen_len=20, use_sampling=False)
+    for buckets in ('auto', (4, 8, 12, 16)):
+        tb = ours.generate(params, jax.random.PRNGKey(5), condition_tensors=ct,
+                           num_samples=2, max_gen_len=20, use_sampling=False,
+                           kv_buckets=buckets)
+        np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+    # two-step CFG (tuple caches) and scan_layers (stacked caches) both
+    # grow through the same pytree path
+    null_ct = {"description": (jnp.zeros_like(ct["description"][0][:2]),
+                               jnp.zeros_like(ct["description"][1][:2]))}
+    cond2 = {"description": (ct["description"][0][:2], ct["description"][1][:2])}
+    ta = ours.generate(params, jax.random.PRNGKey(7),
+                       condition_tensors=(cond2, null_ct), num_samples=2,
+                       max_gen_len=20, use_sampling=False, two_step_cfg=True)
+    tb = ours.generate(params, jax.random.PRNGKey(7),
+                       condition_tensors=(cond2, null_ct), num_samples=2,
+                       max_gen_len=20, use_sampling=False, two_step_cfg=True,
+                       kv_buckets=(8, 16))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+    import dataclasses as _dc
+    scanned = _dc.replace(ours, scan_layers=True)
+    ta = scanned.generate(params, jax.random.PRNGKey(8), condition_tensors=ct,
+                          num_samples=2, max_gen_len=20, use_sampling=False)
+    tb = scanned.generate(params, jax.random.PRNGKey(8), condition_tensors=ct,
+                          num_samples=2, max_gen_len=20, use_sampling=False,
+                          kv_buckets=(8, 16))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+    # planner invariants: segments tile [first, S); every write fits
+    for first, S, prepend in [(1, 60, 0), (7, 60, 3), (59, 60, 2), (60, 60, 0)]:
+        segs = _plan_cache_segments(first, S, prepend, [8, 16, 32])
+        assert segs[0][0] == first and segs[-1][1] == S
+        prev_end, prev_cap = first, 0
+        for a, b, cap in segs:
+            assert a == prev_end and cap >= prev_cap
+            assert cap >= prepend + max(a, first)        # prefill/write fits
+            if b > a:
+                assert prepend + b - 1 <= cap            # last write fits
+            prev_end, prev_cap = b, cap
+        assert segs[-1][2] == S + prepend or first >= S
+
+
 def test_int4_weight_only_quantization():
     """Weight-only int4 with input-group scales (lm/quantize.py): matmul-site
     dequant agrees with the explicit dequantized weights, logits stay within
