@@ -4,10 +4,17 @@ Mirrors ``/root/reference/audiocraft/modules/conditioners.py:239-342``:
 * ``hash_trick`` — sha256-based word hashing, byte-identical to the reference
   (utils/utils.py:193-203).
 * ``WhiteSpaceTokenizer`` — number-to-words, stopword and punctuation removal,
-  then per-word hash.  The reference lemmatizes via spaCy; spaCy is not in this
-  environment, so lemmatization falls back to identity (documented deviation —
-  it affects which LUT bin a word hashes to, not the model architecture; pass
-  ``lemma=False`` to the reference for byte-parity).
+  lemmatization, then per-word hash.  The reference runs spaCy
+  (``en_core_web_sm``); spaCy is not in this environment, so this module ships
+  a self-contained approximation of the spaCy pipeline pieces the reference
+  actually uses: contraction splitting (``didn't`` -> ``did`` + ``n't``), the
+  spaCy English stopword list, and a rule-based lemmatizer (irregular lookup +
+  the spaCy English suffix rules, without POS disambiguation).  Documented
+  deviation: words where POS matters (``left`` noun vs verb) may lemmatize
+  differently than spaCy — this only affects which LUT bin a word hashes to
+  for models *trained from scratch here*; published checkpoints condition via
+  T5, not the LUT tokenizer.  Pass ``lemma=False, stopwords=False`` for a
+  deterministic pipeline on both sides.
 * ``NoopTokenizer`` — one hash per whole string.
 """
 
