@@ -43,6 +43,11 @@ def load_torch_package(path: str, allow_unsafe: bool = False):
     plain dict (reference utils/export.py:20-79 embeds it; loaders.py:158-214
     rebuilds the model FROM it) — feed it to ``audiocraft_tpu.config``.
     """
+    if path.endswith('.safetensors'):
+        # HF hub distribution format — pure tensor container, no pickle at all
+        from safetensors.numpy import load_file
+        return dict(load_file(path)), None
+
     import torch
 
     def _load_safe():
@@ -98,6 +103,11 @@ def main(argv=None):
     parser.add_argument('--t5-state', default=None,
                         help='optional torch T5 encoder state dict to bundle '
                              '(published LM exports exclude the frozen T5)')
+    parser.add_argument('--hf-config', default=None,
+                        help='HF config.json for compression imports in the '
+                             'HF EnCodec layout (a composite MusicGen '
+                             'config.json works too — its audio_encoder '
+                             'section is used)')
     parser.add_argument('--unsafe-pickle', action='store_true',
                         help='allow torch.load with weights_only=False '
                              '(executes arbitrary pickle code)')
@@ -152,6 +162,40 @@ def main(argv=None):
                 print(f"  {line}", file=sys.stderr)
 
     if args.kind == 'compression':
+        # composite MusicgenForConditionalGeneration dumps carry the codec
+        # tower under `audio_encoder.`; strip to the bare HF EnCodec layout
+        if any(k.startswith('audio_encoder.') for k in state):
+            state = {k[len('audio_encoder.'):]: v for k, v in state.items()
+                     if k.startswith('audio_encoder.')}
+            sd = KeyTracker(state)
+        if 'quantizer.layers.0.codebook.embed' in sd:
+            # HF Transformers EnCodec layout (hub distribution format)
+            import json
+            from ..codec.wrappers import HFEncodecCompressionModel
+            hf_cfg = {}
+            if args.hf_config:
+                with open(args.hf_config) as fh:
+                    hf_cfg = json.load(fh)
+                hf_cfg = hf_cfg.get('audio_encoder', hf_cfg)
+            else:
+                print('[codec] HF layout without --hf-config: building from '
+                      'EnCodec defaults (24 kHz); pass the checkpoint\'s '
+                      'config.json to be sure', file=sys.stderr)
+            wrapped = HFEncodecCompressionModel.from_hf_config(hf_cfg)
+            print('[codec] detected HF Transformers EnCodec layout',
+                  file=sys.stderr)
+            params = wrapped.import_hf_state(sd)
+            leftover = sd.unused(ignore=HARMLESS_BUFFER_PATTERNS)
+            if leftover:
+                print(f"WARNING: {len(leftover)} state-dict keys were NOT "
+                      "imported:", file=sys.stderr)
+                for key in leftover:
+                    print(f"  - {key}", file=sys.stderr)
+            path = save_checkpoint(args.out, wrapped, params,
+                                   extra={'source': args.checkpoint,
+                                          'unmapped_keys': leftover})
+            print(f"imported {len(sd.used)}/{len(sd)} tensors -> {path}")
+            return
         if xp_cfg is not None and 'encodec' in xp_cfg:
             dtype = (None if args.compute_dtype == 'float32'
                      else args.compute_dtype)
@@ -169,8 +213,18 @@ def main(argv=None):
             _report_cfg_build(report, model, fb_model, 'lm')
         else:
             model, provider = _fallback_lm()
-        lm_params = import_lm(model, sd)
-        imported_cond = import_conditioners(provider, sd)
+        if 'emb.0.weight' in sd:
+            # original audiocraft export layout
+            lm_params = import_lm(model, sd)
+            imported_cond = import_conditioners(provider, sd)
+        else:
+            # HF Transformers layout (MusicgenForCausalLM /
+            # MusicgenForConditionalGeneration — the hub distribution format)
+            from ..ckpt.hf_import import import_musicgen_hf
+            lm_params, imported_cond = import_musicgen_hf(
+                model, sd, provider=provider)
+            print("[lm] detected HF Transformers checkpoint layout",
+                  file=sys.stderr)
         cond_params = provider.init(jax.random.PRNGKey(0))
         for name, _ in provider.conditioners:
             if name not in imported_cond:
@@ -191,7 +245,16 @@ def main(argv=None):
         to_save = {'lm': model, 'condition_provider': provider}
         save_params = {'lm': lm_params, 'condition_provider': cond_params}
 
-    leftover = sd.unused(ignore=HARMLESS_BUFFER_PATTERNS)
+    from ..ckpt.hf_import import HF_HARMLESS_PATTERNS
+    leftover = sd.unused(ignore=HARMLESS_BUFFER_PATTERNS + HF_HARMLESS_PATTERNS)
+    audio_enc = [k for k in leftover if k.startswith('audio_encoder.')]
+    if audio_enc:
+        # HF composite dumps bundle the EnCodec tower; in our layout that is
+        # a separate `compression` checkpoint (HFEncodecCompressionModel)
+        print(f"NOTE: {len(audio_enc)} 'audio_encoder.*' keys skipped — "
+              "import the codec separately with kind=compression",
+              file=sys.stderr)
+        leftover = [k for k in leftover if not k.startswith('audio_encoder.')]
     if leftover:
         print(f"WARNING: {len(leftover)} state-dict keys were NOT imported:",
               file=sys.stderr)

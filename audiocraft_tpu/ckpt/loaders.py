@@ -104,6 +104,22 @@ def get_pretrained(name: str = 'debug', cache_dir: tp.Optional[str] = None,
 
     path = resolve_checkpoint_dir(name, cache_dir)
     if path is None:
+        # a raw HF hub snapshot directory (config.json + safetensors, e.g.
+        # `huggingface-cli download facebook/musicgen-small`): convert once
+        # into the cache, then serve from the converted checkpoint
+        as_path = Path(name)
+        if (as_path / 'config.json').exists():
+            dest = get_cache_dir(cache_dir) / (as_path.name + '-hf')
+            if not (dest / 'lm').is_dir():
+                from .hf_import import import_hf_snapshot
+                logger.info("converting HF snapshot %s -> %s", as_path, dest)
+                import_hf_snapshot(
+                    as_path, dest,
+                    unmapped_hook=lambda keys: logger.warning(
+                        "%d HF keys were not imported: %s",
+                        len(keys), keys[:8]))
+            path = dest
+    if path is None:
         raise FileNotFoundError(
             f"no imported checkpoint for '{name}' under "
             f"{get_cache_dir(cache_dir)} — run "
