@@ -236,6 +236,11 @@ def import_hf_snapshot(src, out,
         wrapped = HFEncodecCompressionModel.from_hf_config(
             cfg.get("audio_encoder", {}))
         codec_params = wrapped.import_hf_state(codec_sd)
+        # stereo checkpoints (musicgen-stereo-*) keep a mono codec and carry
+        # stereo as 2x interleaved codebooks (decoder audio_channels == 2)
+        if int(cfg.get("decoder", cfg).get("audio_channels", 1)) == 2:
+            from ..codec.stereo import InterleaveStereoCompressionModel
+            wrapped = InterleaveStereoCompressionModel(model=wrapped)
         save_checkpoint(out / "compression", wrapped, codec_params,
                         extra={"source": str(src),
                                "unmapped_keys": codec_sd.unused(

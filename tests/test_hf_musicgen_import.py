@@ -271,6 +271,60 @@ def test_hf_snapshot_get_pretrained(tmp_path):
     assert mg2.lm.card == CARD
 
 
+def test_hf_stereo_snapshot(tmp_path):
+    """musicgen-stereo-* layout: mono codec + decoder audio_channels=2 with
+    2x interleaved codebooks -> codec auto-wrapped in
+    InterleaveStereoCompressionModel, LM built at n_q=8."""
+    import json
+
+    from safetensors.numpy import save_file
+    from transformers import T5Config
+    from transformers.models.encodec.configuration_encodec import EncodecConfig
+    from transformers.models.musicgen.configuration_musicgen import (
+        MusicgenConfig, MusicgenDecoderConfig)
+    from transformers.models.musicgen.modeling_musicgen import (
+        MusicgenForConditionalGeneration)
+
+    from audiocraft_tpu.ckpt.loaders import clear_model_cache, get_pretrained
+    from audiocraft_tpu.codec.stereo import InterleaveStereoCompressionModel
+
+    torch.manual_seed(29)
+    t5 = T5Config(vocab_size=50, d_model=24, d_kv=6, d_ff=32, num_layers=2,
+                  num_heads=4)
+    enc = EncodecConfig(audio_channels=1, num_filters=4, num_residual_layers=1,
+                        upsampling_ratios=[4, 2], codebook_size=32,
+                        codebook_dim=DIM, hidden_size=DIM, num_lstm_layers=1,
+                        target_bandwidths=[40.0], sampling_rate=16000,
+                        normalize=False, use_causal_conv=True)
+    dec = MusicgenDecoderConfig(
+        vocab_size=CARD, hidden_size=DIM, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, ffn_dim=FFN, num_codebooks=2 * N_Q,
+        audio_channels=2, dropout=0.0, scale_embedding=False,
+        max_position_embeddings=64, use_cache=False)
+    cfg = MusicgenConfig.from_sub_models_config(t5, enc, dec)
+    model = MusicgenForConditionalGeneration(cfg).eval()
+
+    src = tmp_path / "stereo_snapshot"
+    src.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in _sd(model).items()},
+              str(src / "model.safetensors"))
+    (src / "config.json").write_text(json.dumps(cfg.to_dict(), default=str))
+
+    clear_model_cache()
+    mg = get_pretrained(str(src), cache_dir=str(tmp_path / "cache"))
+    assert mg.lm.n_q == 2 * N_Q
+    assert isinstance(mg.compression_model, InterleaveStereoCompressionModel)
+    assert mg.compression_model.channels == 2
+    assert mg.compression_model.num_codebooks == 2 * N_Q
+
+    codec_params = jax.tree.map(jnp.asarray, mg.codec_params)
+    wav = np.random.RandomState(3).randn(1, 2, 8000).astype(np.float32) * 0.2
+    codes, scale = mg.compression_model.encode(codec_params, jnp.asarray(wav))
+    assert np.asarray(codes).shape[1] == 2 * N_Q
+    out = mg.compression_model.decode(codec_params, codes, scale)
+    assert np.asarray(out).shape[1] == 2
+
+
 def test_hf_composite_import():
     """Full MusicgenForConditionalGeneration dump: decoder prefix detection,
     LM parity, and enc_to_dec_proj -> conditioner output_proj routing."""
