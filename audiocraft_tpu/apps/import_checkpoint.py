@@ -181,7 +181,10 @@ def main(argv=None):
                 print('[codec] HF layout without --hf-config: building from '
                       'EnCodec defaults (24 kHz); pass the checkpoint\'s '
                       'config.json to be sure', file=sys.stderr)
-            wrapped = HFEncodecCompressionModel.from_hf_config(hf_cfg)
+            dtype = (None if args.compute_dtype == 'float32'
+                     else args.compute_dtype)
+            wrapped = HFEncodecCompressionModel.from_hf_config(
+                hf_cfg, compute_dtype=dtype)
             print('[codec] detected HF Transformers EnCodec layout',
                   file=sys.stderr)
             params = wrapped.import_hf_state(sd)

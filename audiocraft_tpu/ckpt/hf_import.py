@@ -171,6 +171,14 @@ def lm_from_hf_config(cfg: tp.Mapping[str, tp.Any]):
     ffn = int(dec.get("ffn_dim", 4 * dim))
     if ffn % dim:
         raise ValueError(f"ffn_dim {ffn} not a multiple of hidden_size {dim}")
+    # Stereo snapshots (decoder audio_channels == 2) interleave the two
+    # channels' codebooks as (2k, 2k+1) and apply delay k to the PAIR — HF
+    # build_delay_pattern_mask works over channel_codebooks=num_codebooks//2,
+    # matching the reference stereo configs.  Mono keeps delays [0..n_q-1].
+    if int(dec.get("audio_channels", 1)) == 2:
+        delays = [k // 2 for k in range(n_q)]
+    else:
+        delays = None
     t5_name = "t5-base"
     text = cfg.get("text_encoder")
     if text:
@@ -181,7 +189,8 @@ def lm_from_hf_config(cfg: tp.Mapping[str, tp.Any]):
         "description": T5Conditioner(name=t5_name, output_dim=dim)})
     fuser = ConditionFuser.from_dict({"cross": ("description",)})
     lm = LMModel(
-        pattern_provider=DelayedPatternProvider(n_q), fuser=fuser,
+        pattern_provider=DelayedPatternProvider(n_q, delays=delays),
+        fuser=fuser,
         n_q=n_q, card=int(dec.get("vocab_size", 2048)), dim=dim,
         num_heads=int(dec.get("num_attention_heads", 16)),
         num_layers=int(dec.get("num_hidden_layers", 24)),
@@ -193,14 +202,17 @@ def lm_from_hf_config(cfg: tp.Mapping[str, tp.Any]):
 
 def import_hf_snapshot(src, out,
                        unmapped_hook: tp.Optional[tp.Callable[
-                           [tp.List[str]], None]] = None) -> None:
+                           [tp.List[str]], None]] = None,
+                       require_codec: bool = False) -> None:
     """Convert an HF hub snapshot directory (``config.json`` +
     ``model.safetensors`` / sharded safetensors / ``pytorch_model.bin``) into
     our checkpoint layout ``<out>/{lm,compression}`` — the format
     :func:`~audiocraft_tpu.ckpt.loaders.get_pretrained` serves.
 
     Composite dumps (``MusicgenForConditionalGeneration``) yield both sides;
-    decoder-only dumps yield the LM only.
+    decoder-only dumps (``MusicgenForCausalLM``) yield the LM only — pass
+    ``require_codec=True`` to fail loudly instead when the caller needs a
+    generate-ready ``{lm,compression}`` pair.
     """
     import json
     from pathlib import Path
@@ -215,39 +227,55 @@ def import_hf_snapshot(src, out,
     with open(src / "config.json") as fh:
         cfg = json.load(fh)
     state = _load_snapshot_weights(src)
+    has_codec = any(k.startswith("audio_encoder.") for k in state)
+    if require_codec and not has_codec:
+        raise ValueError(
+            f"HF snapshot {src} is decoder-only (MusicgenForCausalLM: no "
+            "'audio_encoder.*' tower) — it cannot generate audio by itself. "
+            "Use a composite MusicgenForConditionalGeneration snapshot, or "
+            "convert with apps.import_checkpoint and pair the LM with a "
+            "separately imported EnCodec checkpoint.")
     sd = KeyTracker(state)
 
     lm, provider = lm_from_hf_config(cfg)
     lm_params, cond_partial = import_musicgen_hf(lm, sd, provider=provider)
     cond_params = merge_params(provider.init(jax.random.PRNGKey(0)),
                                cond_partial)
-    save_checkpoint(out / "lm",
-                    {"lm": lm, "condition_provider": provider},
-                    {"lm": lm_params, "condition_provider": cond_params},
-                    extra={"source": str(src), "unmapped_keys": []})
 
-    if any(k.startswith("audio_encoder.") for k in state):
+    codec_save = None
+    if has_codec:
         from ..codec.wrappers import HFEncodecCompressionModel
         codec_sd = KeyTracker({k[len("audio_encoder."):]: v
                                for k, v in state.items()
                                if k.startswith("audio_encoder.")})
-        for key in codec_sd:
-            sd.used.add(f"audio_encoder.{key}")
         wrapped = HFEncodecCompressionModel.from_hf_config(
             cfg.get("audio_encoder", {}))
         codec_params = wrapped.import_hf_state(codec_sd)
+        for key in codec_sd.used:
+            sd.used.add(f"audio_encoder.{key}")
         # stereo checkpoints (musicgen-stereo-*) keep a mono codec and carry
         # stereo as 2x interleaved codebooks (decoder audio_channels == 2)
         if int(cfg.get("decoder", cfg).get("audio_channels", 1)) == 2:
             from ..codec.stereo import InterleaveStereoCompressionModel
             wrapped = InterleaveStereoCompressionModel(model=wrapped)
-        save_checkpoint(out / "compression", wrapped, codec_params,
-                        extra={"source": str(src),
-                               "unmapped_keys": codec_sd.unused(
-                                   ignore=HARMLESS_BUFFER_PATTERNS)})
+        codec_save = (wrapped, codec_params, codec_sd.unused(
+            ignore=HARMLESS_BUFFER_PATTERNS))
 
+    # compute the LM-side leftover BEFORE saving so the persisted checkpoint
+    # records the true unmapped-keys list (not a hardcoded clean import)
     leftover = sd.unused(
         ignore=HARMLESS_BUFFER_PATTERNS + HF_HARMLESS_PATTERNS)
+    lm_leftover = [k for k in leftover if not k.startswith("audio_encoder.")]
+    save_checkpoint(out / "lm",
+                    {"lm": lm, "condition_provider": provider},
+                    {"lm": lm_params, "condition_provider": cond_params},
+                    extra={"source": str(src), "unmapped_keys": lm_leftover})
+    if codec_save is not None:
+        wrapped, codec_params, codec_leftover = codec_save
+        save_checkpoint(out / "compression", wrapped, codec_params,
+                        extra={"source": str(src),
+                               "unmapped_keys": codec_leftover})
+
     if leftover and unmapped_hook is not None:
         unmapped_hook(leftover)
 

@@ -111,13 +111,29 @@ def get_pretrained(name: str = 'debug', cache_dir: tp.Optional[str] = None,
         if (as_path / 'config.json').exists():
             dest = get_cache_dir(cache_dir) / (as_path.name + '-hf')
             if not (dest / 'lm').is_dir():
+                # convert into a temp sibling and rename into place so a
+                # failure mid-conversion can never poison the cache with a
+                # half-written dir that the is_dir() gate would then skip
+                import shutil
+                import tempfile
+
                 from .hf_import import import_hf_snapshot
                 logger.info("converting HF snapshot %s -> %s", as_path, dest)
-                import_hf_snapshot(
-                    as_path, dest,
-                    unmapped_hook=lambda keys: logger.warning(
-                        "%d HF keys were not imported: %s",
-                        len(keys), keys[:8]))
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                tmp = Path(tempfile.mkdtemp(
+                    prefix=dest.name + '.tmp-', dir=dest.parent))
+                try:
+                    import_hf_snapshot(
+                        as_path, tmp, require_codec=True,
+                        unmapped_hook=lambda keys: logger.warning(
+                            "%d HF keys were not imported: %s",
+                            len(keys), keys[:8]))
+                    if dest.exists():
+                        shutil.rmtree(dest)
+                    os.replace(tmp, dest)
+                except BaseException:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
             path = dest
     if path is None:
         raise FileNotFoundError(
@@ -129,6 +145,12 @@ def get_pretrained(name: str = 'debug', cache_dir: tp.Optional[str] = None,
 
     from .io import load_checkpoint
 
+    if not (path / 'compression').is_dir():
+        raise FileNotFoundError(
+            f"checkpoint dir {path} has an LM but no 'compression/' codec "
+            "checkpoint (a decoder-only import?) — generation needs both. "
+            "Import the matching EnCodec weights with apps.import_checkpoint "
+            "--kind compression into that directory.")
     codec, codec_params, _ = load_checkpoint(path / 'compression')
     bundle, params, meta = load_checkpoint(path / 'lm')
     lm = bundle['lm']

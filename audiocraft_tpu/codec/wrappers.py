@@ -105,10 +105,13 @@ class HFEncodecCompressionModel:
     target_bandwidths: tp.Tuple[float, ...]
 
     @classmethod
-    def from_hf_config(cls, cfg: tp.Mapping[str, tp.Any]
+    def from_hf_config(cls, cfg: tp.Mapping[str, tp.Any],
+                       compute_dtype: tp.Optional[str] = None
                        ) -> "HFEncodecCompressionModel":
         """Build from a ``transformers`` EncodecConfig-style mapping (the
-        ``config.json`` of facebook/encodec_* checkpoints)."""
+        ``config.json`` of facebook/encodec_* checkpoints).  ``compute_dtype``
+        ('bfloat16') opts the SEANet stacks into the throughput dtype; None
+        keeps the fp32 parity default."""
         def get(name, default):
             return cfg.get(name, default)
         ratios = tuple(get('upsampling_ratios', (8, 5, 4, 2)))
@@ -151,7 +154,8 @@ class HFEncodecCompressionModel:
                              quantizer=quantizer, frame_rate=frame_rate,
                              sample_rate=sample_rate,
                              channels=common['channels'], causal=common['causal'],
-                             renormalize=get('normalize', False))
+                             renormalize=get('normalize', False),
+                             compute_dtype=compute_dtype)
         return cls(model=model, target_bandwidths=bandwidths)
 
     def import_hf_state(self, sd: StateDict) -> dict:

@@ -313,6 +313,9 @@ def test_hf_stereo_snapshot(tmp_path):
     clear_model_cache()
     mg = get_pretrained(str(src), cache_dir=str(tmp_path / "cache"))
     assert mg.lm.n_q == 2 * N_Q
+    # stereo applies delay k to the interleaved channel PAIR (2k, 2k+1):
+    # HF build_delay_pattern_mask works over num_codebooks//2 channel books
+    assert mg.lm.pattern_provider.delays == [k // 2 for k in range(2 * N_Q)]
     assert isinstance(mg.compression_model, InterleaveStereoCompressionModel)
     assert mg.compression_model.channels == 2
     assert mg.compression_model.num_codebooks == 2 * N_Q
@@ -374,3 +377,59 @@ def test_hf_composite_import():
                              {"description": (jnp.asarray(ench), mask)})
     np.testing.assert_allclose(np.asarray(logits), logits_ref,
                                atol=5e-5, rtol=1e-4)
+
+
+def test_decoder_only_snapshot_fails_clearly(tmp_path):
+    """A MusicgenForCausalLM snapshot (no audio_encoder tower) cannot become
+    a generate-ready model: get_pretrained must raise a clear error and leave
+    NO half-converted dir in the cache (the conversion is atomic)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from audiocraft_tpu.ckpt.loaders import clear_model_cache, get_pretrained
+
+    ref = _make_hf_lm(seed=23)
+    src = tmp_path / "decoder_only"
+    src.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in _sd(ref).items()},
+              str(src / "model.safetensors"))
+    (src / "config.json").write_text(json.dumps(ref.config.to_dict(),
+                                                default=str))
+
+    cache = tmp_path / "cache"
+    clear_model_cache()
+    with pytest.raises(ValueError, match="decoder-only"):
+        get_pretrained(str(src), cache_dir=str(cache))
+    # atomicity: nothing half-written may survive under the cache dir
+    leftover = [p for p in cache.glob("**/*") if p.is_dir()]
+    assert all("lm" not in p.name for p in leftover), leftover
+
+
+def test_hf_snapshot_records_unmapped_lm_keys(tmp_path):
+    """Extra decoder-side keys dropped during snapshot conversion must land
+    in the persisted lm checkpoint's unmapped_keys (not a hardcoded [])."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from audiocraft_tpu.ckpt.hf_import import import_hf_snapshot
+    from audiocraft_tpu.ckpt.io import load_checkpoint
+
+    ref = _make_hf_lm(seed=31)
+    state = _sd(ref)
+    state["model.decoder.some_mystery_adapter.weight"] = (
+        np.zeros((3, 3), dtype=np.float32))
+    src = tmp_path / "snap"
+    src.mkdir()
+    save_file({k: np.ascontiguousarray(v) for k, v in state.items()},
+              str(src / "model.safetensors"))
+    (src / "config.json").write_text(json.dumps(ref.config.to_dict(),
+                                                default=str))
+
+    seen = []
+    import_hf_snapshot(src, tmp_path / "out", unmapped_hook=seen.append)
+    assert seen and "model.decoder.some_mystery_adapter.weight" in seen[0]
+    _, _, meta = load_checkpoint(tmp_path / "out" / "lm")
+    assert ("model.decoder.some_mystery_adapter.weight"
+            in meta["extra"]["unmapped_keys"])
