@@ -5,6 +5,13 @@ Usage:
         [--duration 10] [--out out.wav] [--checkpoint CKPT] [--seed 42] \
         [--melody melody.wav] [--overlap 2] [--segment-duration 30]
 
+``--checkpoint`` accepts anything :func:`ckpt.loaders.get_pretrained`
+resolves (reference musicgen.py:100-143 / app.py:300-315): a short name
+('small', 'melody', ...), an imported checkpoint directory, or a raw HF hub
+snapshot directory (config.json + safetensors — converted once into the
+cache).  ``--optimize`` applies the measured-best serving recipe (int8
+weights + int8 KV + bf16 compute).
+
 Durations beyond the model's window use the fork's segment-stitch extension
 with overlap crossfades (audiocraft_tpu.gen.extend).  Without a checkpoint a
 debug-scale model generates (noise-like) audio — useful for smoke testing the
@@ -21,7 +28,9 @@ def main(argv=None):
     parser.add_argument('text')
     parser.add_argument('--duration', type=float, default=10.0)
     parser.add_argument('--out', default='out.wav')
-    parser.add_argument('--checkpoint', default=None)
+    parser.add_argument('--checkpoint', default=None,
+                        help="model name ('small', ...), imported checkpoint "
+                             "dir, or HF snapshot dir; default: debug model")
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--melody', default=None, help='melody wav file')
     parser.add_argument('--overlap', type=int, default=2)
@@ -29,6 +38,11 @@ def main(argv=None):
     parser.add_argument('--top-k', type=int, default=250)
     parser.add_argument('--temperature', type=float, default=1.0)
     parser.add_argument('--cfg-coef', type=float, default=3.0)
+    parser.add_argument('--optimize', action='store_true',
+                        help='int8 weights + int8 KV serving recipe')
+    parser.add_argument('--format', default='wav',
+                        choices=('wav', 'mp3', 'ogg', 'flac'),
+                        help='output audio format')
     args = parser.parse_args(argv)
 
     import jax
@@ -39,15 +53,17 @@ def main(argv=None):
     from ..gen.musicgen import get_debug_melody_musicgen, get_debug_musicgen
     from ..io.wav import audio_read, audio_write
 
-    if args.checkpoint:
-        raise NotImplementedError(
-            "checkpoint loading for full MusicGen arrives with trained weights; "
-            "use the debug models for pipeline testing")
-
     melody = None
     if args.melody:
         wav, sr = audio_read(args.melody)
         melody = (sr, wav.mean(0))
+
+    if args.checkpoint:
+        from ..ckpt.loaders import load_model
+        model = load_model(args.checkpoint)
+        if args.optimize:
+            model.optimize_for_serving()
+    elif melody is not None:
         model = get_debug_melody_musicgen(jax.random.PRNGKey(args.seed))
     else:
         model = get_debug_musicgen(jax.random.PRNGKey(args.seed))
@@ -70,8 +86,11 @@ def main(argv=None):
         wav = model.generate([args.text], key=key, progress=True)
 
     out = np.asarray(wav[0])
-    path = audio_write(args.out.removesuffix('.wav'), out, model.sample_rate,
-                       strategy='loudness')
+    stem = args.out
+    for suffix in ('.wav', '.mp3', '.ogg', '.flac'):
+        stem = stem.removesuffix(suffix)
+    path = audio_write(stem, out, model.sample_rate,
+                       format=args.format, strategy='loudness')
     print(f"wrote {out.shape[-1] / model.sample_rate:.1f}s of audio to {path}")
 
 

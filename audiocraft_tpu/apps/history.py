@@ -68,6 +68,79 @@ class GenerationHistory:
         archive = shutil.make_archive(str(dest), "zip", self.root)
         return Path(archive)
 
+    def delete_all(self, archive_dir: tp.Optional[tp.Union[str, Path]] = None
+                   ) -> tp.Optional[Path]:
+        """Wipe this user's history (reference _delete_user_history,
+        user_history.py:453-480: archive to a zip first, then clear).
+        Returns the archive path when archiving was requested."""
+        archive = None
+        if archive_dir is not None:
+            stamp = time.strftime("%Y%m%d-%H%M%S")
+            dest = Path(archive_dir) / f"history-{self.root.name}-{stamp}"
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            archive = self.export_zip(dest)
+        for child in self.root.iterdir():
+            if child.suffix == ".lock":
+                continue
+            if child.is_dir():
+                shutil.rmtree(child)
+            else:
+                child.unlink()
+        return archive
+
+
+def admin_stats(folder: tp.Union[str, Path]) -> dict:
+    """Cross-user stats over a history root — the data behind the reference
+    admin panel (user_history.py:637-740: user count, artifact counts, disk
+    usage/free)."""
+    root = Path(folder)
+    users = [p for p in root.iterdir() if p.is_dir()] if root.is_dir() else []
+    n_audio = n_image = n_video = n_entries = 0
+    for user in users:
+        jsonl = user / "history.jsonl"
+        if jsonl.exists():
+            n_entries += sum(1 for ln in jsonl.read_text().splitlines()
+                             if ln.strip())
+        for f in user.iterdir():
+            suffix = f.suffix.lower()
+            if suffix in (".wav", ".mp3", ".ogg", ".flac", ".m4a", ".opus"):
+                n_audio += 1
+            elif suffix in (".png", ".jpg", ".jpeg", ".webp"):
+                n_image += 1
+            elif suffix in (".mp4", ".webm"):
+                n_video += 1
+    usage = shutil.disk_usage(root if root.is_dir() else root.parent)
+    return {
+        "users": len(users),
+        "entries": n_entries,
+        "audio_files": n_audio,
+        "images": n_image,
+        "videos": n_video,
+        "disk_used_gb": round(usage.used / 2 ** 30, 2),
+        "disk_free_gb": round(usage.free / 2 ** 30, 2),
+        "disk_total_gb": round(usage.total / 2 ** 30, 2),
+    }
+
+
+def render_admin_html(folder: tp.Union[str, Path]) -> str:
+    """Admin panel content (reference _admin_content,
+    user_history.py:653-676) as static HTML."""
+    stats = admin_stats(folder)
+    rows = "".join(f"<tr><td>{k.replace('_', ' ')}</td><td>{v}</td></tr>"
+                   for k, v in stats.items())
+    warn = ""
+    if stats["disk_free_gb"] < 5:
+        warn = ("<p class='warn'>Low disk space: "
+                f"{stats['disk_free_gb']} GB free</p>")
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>History admin</title><style>"
+        "body{font-family:sans-serif;background:#0b0f19;color:#eee;margin:2em}"
+        "table{border-collapse:collapse}td{padding:0.3em 1em;"
+        "border-bottom:1px solid #334}.warn{color:#f66}"
+        "</style></head><body><h1>History admin</h1>"
+        f"{warn}<table>{rows}</table></body></html>")
+
 
 def render_gallery_html(history: "GenerationHistory",
                         title: str = "Generation history",

@@ -349,7 +349,29 @@ def make_handler(service: GenerationService):
             except FileNotFoundError as exc:
                 self._json(404, {'error': str(exc)})
                 return
-            body = _wav_bytes(result['wav'], result['sample_rate'])
+            fmt = str(req.get('return_format', 'wav')).lower()
+            if fmt == 'wav':
+                body = _wav_bytes(result['wav'], result['sample_rate'])
+                mime = 'audio/wav'
+            else:
+                # compressed response via the native libavcodec encoder
+                # (reference audio_write mp3/ogg/flac, audio.py:164-228)
+                try:
+                    from ..io.native import encode_audio
+                    with tempfile.NamedTemporaryFile(
+                            suffix=f'.{fmt}') as tmp:
+                        encode_audio(tmp.name, result['wav'],
+                                     result['sample_rate'], format=fmt)
+                        body = open(tmp.name, 'rb').read()
+                except ValueError as exc:
+                    self._json(400, {'error': str(exc)})
+                    return
+                except Exception as exc:
+                    self._json(500, {'error': f'encode failed: {exc}'})
+                    return
+                mime = {'mp3': 'audio/mpeg', 'ogg': 'audio/ogg',
+                        'flac': 'audio/flac', 'm4a': 'audio/mp4',
+                        'opus': 'audio/opus'}[fmt]
             if req.get('return_video'):
                 # animated-waveform MP4 with embedded metadata (reference
                 # make_waveform + mutagen path, modules/gradio.py:35-273)
@@ -384,7 +406,7 @@ def make_handler(service: GenerationService):
                 })
                 return
             self.send_response(200)
-            self.send_header('Content-Type', 'audio/wav')
+            self.send_header('Content-Type', mime)
             self.send_header('X-Seed', str(result['seed']))
             self.send_header('Content-Length', str(len(body)))
             self.end_headers()

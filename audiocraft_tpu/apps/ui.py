@@ -22,7 +22,20 @@ def predict(model, text: str, melody: tp.Optional[tuple] = None,
             top_p: float = 0.0, temperature: float = 1.0,
             cfg_coef: float = 3.0,
             history: tp.Optional[tp.Any] = None,
-            cache_dir: tp.Optional[str] = None) -> tp.Tuple[Path, int]:
+            cache_dir: tp.Optional[str] = None,
+            # video/title surface of the reference predict (app.py:244-330:
+            # background, title, settings_font*, include_title,
+            # include_settings, video_orientation)
+            return_video: bool = False,
+            title: str = "",
+            background: tp.Optional[str] = None,
+            include_title: bool = True,
+            include_settings: bool = True,
+            settings_font: tp.Optional[str] = None,
+            settings_font_color: str = "#ffffff",
+            settings_font_size: int = 28,
+            video_orientation: str = "Landscape",
+            audio_format: str = "wav"):
     """Headless predict (app.py:244-555 without the UI plumbing):
     text (+ optional melody) -> wav file path.  Long durations route through
     the segment-stitch extension; results optionally land in a
@@ -30,6 +43,11 @@ def predict(model, text: str, melody: tp.Optional[tuple] = None,
 
     `model` is a MusicGen facade or a model *name* resolved through the
     cached loader (the reference UI's model dropdown, app.py:300-315).
+
+    Returns ``(audio_path, seed)``; with ``return_video=True`` returns
+    ``(video_path, audio_path, seed)`` — the reference predict's triple
+    (app.py:553-555), the MP4 carrying the title/settings card and embedded
+    metadata through io/titlecard + io/video.
     """
     import jax
     from ..utils.misc import enable_compilation_cache
@@ -71,11 +89,31 @@ def predict(model, text: str, melody: tp.Optional[tuple] = None,
 
     out_dir = Path(tempfile.mkdtemp(prefix="audiocraft_tpu_"))
     path = audio_write(out_dir / "generation", np.asarray(wav[0]),
-                       model.sample_rate, strategy="loudness")
+                       model.sample_rate, format=audio_format,
+                       strategy="loudness")
+    metadata = {"seed": seed, "duration": duration, "text": text,
+                "prompt": text, "model": getattr(model, 'name', ''),
+                "topk": top_k, "topp": top_p, "temperature": temperature,
+                "cfg_coef": cfg_coef, "title": title}
+    video_path = None
+    if return_video:
+        from ..io.titlecard import settings_text
+        from ..io.video import make_waveform_video
+        # Portrait swaps the card dimensions (reference app.py:464-466)
+        width, height = ((512, 768) if video_orientation == "Portrait"
+                         else (768, 512))
+        video_path = make_waveform_video(
+            out_dir / "generation.mp4", np.asarray(wav[0]),
+            model.sample_rate, metadata=metadata,
+            title=title if include_title else "",
+            settings=settings_text(metadata) if include_settings else "",
+            background=background, width=width, height=height,
+            font=settings_font, font_color=settings_font_color,
+            font_size=settings_font_size)
     if history is not None:
-        history.save(path, label=text,
-                     metadata={"seed": seed, "duration": duration,
-                               "text": text})
+        history.save(path, label=title or text, metadata=metadata)
+    if return_video:
+        return video_path, path, seed
     return path, seed
 
 

@@ -136,9 +136,8 @@ def import_t5_conditioner_hf(conditioner, sd: StateDict,
     into our T5Conditioner params: the frozen T5 encoder plus the *trained*
     ``enc_to_dec_proj`` (the audiocraft conditioner's ``output_proj`` —
     dropping it would leave conditioning randomly projected)."""
-    from ..nn.t5 import T5EncoderConfig
     from .torch_import import import_t5
-    cfg = T5EncoderConfig.for_name(conditioner.name)
+    cfg = conditioner.t5_config
     params: dict = {}
     probe = f"{text_prefix}shared.weight"
     if (f"{text_prefix}encoder.block.0.layer.0.SelfAttention.q.weight" in sd
@@ -180,13 +179,31 @@ def lm_from_hf_config(cfg: tp.Mapping[str, tp.Any]):
     else:
         delays = None
     t5_name = "t5-base"
+    t5_cfg = None
     text = cfg.get("text_encoder")
     if text:
         cand = text.get("_name_or_path", "")
         if cand in T5Conditioner.MODELS_DIMS:
             t5_name = cand
+        # build the tower architecture from the snapshot's OWN text_encoder
+        # config (not by name) so the encoder always matches the shipped
+        # weights — published checkpoints can carry non-standard T5 shapes
+        from ..nn.t5 import T5EncoderConfig
+        t5_cfg = T5EncoderConfig(
+            vocab_size=int(text.get("vocab_size", 32128)),
+            d_model=int(text.get("d_model", 512)),
+            d_kv=int(text.get("d_kv", 64)),
+            d_ff=int(text.get("d_ff", 2048)),
+            num_layers=int(text.get("num_layers", 6)),
+            num_heads=int(text.get("num_heads", 8)),
+            relative_attention_num_buckets=int(
+                text.get("relative_attention_num_buckets", 32)),
+            relative_attention_max_distance=int(
+                text.get("relative_attention_max_distance", 128)),
+            gated_act="gated" in str(text.get("feed_forward_proj", "relu")))
     provider = ConditioningProvider.from_dict({
-        "description": T5Conditioner(name=t5_name, output_dim=dim)})
+        "description": T5Conditioner(name=t5_name, output_dim=dim,
+                                     config=t5_cfg)})
     fuser = ConditionFuser.from_dict({"cross": ("description",)})
     lm = LMModel(
         pattern_provider=DelayedPatternProvider(n_q, delays=delays),

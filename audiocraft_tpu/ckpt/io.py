@@ -43,6 +43,7 @@ def _registry():
         from ..cond.fuser import ConditionFuser
         from ..lm.model import LMModel
         from ..nn.seanet import SEANetDecoder, SEANetEncoder
+        from ..nn.t5 import T5EncoderConfig
         from ..patterns.pattern import (CoarseFirstPattern,
                                         DelayedPatternProvider,
                                         MusicLMPattern,
@@ -54,7 +55,8 @@ def _registry():
                   HFEncodecCompressionModel,
                   SEANetEncoder, SEANetDecoder, ResidualVectorQuantizer,
                   DummyQuantizer, LMModel, ConditionFuser, LUTConditioner,
-                  T5Conditioner, ChromaConditioner, StyleConditioner,
+                  T5Conditioner, T5EncoderConfig, ChromaConditioner,
+                  StyleConditioner,
                   JointEmbeddingConditioner, ConditioningProvider,
                   DelayedPatternProvider, ParallelPatternProvider,
                   UnrolledPatternProvider, CoarseFirstPattern, MusicLMPattern)

@@ -76,6 +76,11 @@ class T5Conditioner:
     output_dim: int = 512
     finetune: bool = False
     word_dropout: float = 0.0
+    #: explicit encoder architecture (nn.t5.T5EncoderConfig); None resolves
+    #: the architecture from ``name``.  Checkpoint importers set this from
+    #: the snapshot's own text_encoder config so the tower always matches
+    #: the weights (HF snapshots can carry non-standard T5 shapes).
+    config: tp.Optional[tp.Any] = None
 
     MODELS_DIMS = {
         "t5-small": 512, "t5-base": 768, "t5-large": 1024,
@@ -86,7 +91,14 @@ class T5Conditioner:
 
     @property
     def dim(self) -> int:
+        if self.config is not None:
+            return self.config.d_model
         return self.MODELS_DIMS[self.name]
+
+    @property
+    def t5_config(self):
+        from ..nn.t5 import T5EncoderConfig
+        return self.config or T5EncoderConfig.for_name(self.name)
 
     def load_tokenizer(self):
         from transformers import AutoTokenizer
@@ -94,10 +106,9 @@ class T5Conditioner:
 
     def init(self, key: jax.Array) -> dict:
         """Random-init projection; T5 weights arrive via ckpt import."""
-        from ..nn.t5 import T5EncoderConfig
         k1, k2 = jax.random.split(key)
         bound = 1.0 / math.sqrt(self.dim)
-        cfg = T5EncoderConfig.for_name(self.name)
+        cfg = self.t5_config
         return {
             't5': cfg.model().init(k1),
             'output_proj': {
@@ -118,10 +129,8 @@ class T5Conditioner:
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def __call__(self, params: dict, inputs) -> ConditionType:
-        from ..nn.t5 import T5EncoderConfig
         ids, mask = inputs
-        cfg = T5EncoderConfig.for_name(self.name)
-        embeds = cfg.model()(params['t5'], ids, mask)
+        embeds = self.t5_config.model()(params['t5'], ids, mask)
         embeds = embeds @ params['output_proj']['weight'].T \
             + params['output_proj']['bias']
         embeds = embeds * mask[..., None]

@@ -82,6 +82,55 @@ def decode_audio(path: tp.Union[str, Path], seek_time: float = 0.0,
     return arr.reshape(frames.value, channels.value).T.copy(), sr.value
 
 
+#: format -> (encoder name, default bitrate kbps; <=0 = encoder default).
+#: mp3 default mirrors the reference audio_write's mp3_rate=320
+#: (audio.py:167); ogg follows its audio_write2 "let ffmpeg decide".
+#: opus requires 48 kHz input and roundtrips with a ~200-sample head offset
+#: (pre-skip bookkeeping) — mp3/ogg/flac/m4a are sample-aligned.
+ENCODERS = {
+    'mp3': ('libmp3lame', 320),
+    'ogg': ('libvorbis', 0),
+    'flac': ('flac', 0),
+    'm4a': ('aac', 0),
+    'opus': ('libopus', 0),
+}
+
+
+def encode_audio(path: tp.Union[str, Path], wav: np.ndarray, sample_rate: int,
+                 format: tp.Optional[str] = None,
+                 bitrate_kbps: tp.Optional[int] = None) -> None:
+    """Encode [C, T] float32 audio to a compressed file (mp3/ogg/flac/m4a/
+    opus).  The write half of the reference's audio_write
+    (audio.py:164-228), driven through libavcodec instead of an ffmpeg
+    subprocess."""
+    lib = _load()
+    if not hasattr(lib, "_encode_ready"):
+        lib.act_encode_audio.restype = ctypes.c_int
+        lib.act_encode_audio.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
+        lib._encode_ready = True
+    assert wav.ndim == 2, "expected [C, T]"
+    fmt = format or Path(path).suffix.lstrip('.').lower()
+    if fmt not in ENCODERS:
+        raise ValueError(f"unsupported encode format {fmt!r} "
+                         f"(have {sorted(ENCODERS)})")
+    codec_name, default_rate = ENCODERS[fmt]
+    rate = default_rate if bitrate_kbps is None else bitrate_kbps
+    interleaved = np.ascontiguousarray(wav.T, dtype=np.float32)
+    err = ctypes.create_string_buffer(256)
+    ret = lib.act_encode_audio(
+        str(path).encode(),
+        interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        wav.shape[1], wav.shape[0], int(sample_rate), codec_name.encode(),
+        int(rate), err, len(err))
+    if ret != 0:
+        raise RuntimeError(
+            f"native encode failed ({ret}) for {path}: "
+            f"{err.value.decode(errors='replace')}")
+
+
 def probe_audio(path: tp.Union[str, Path]) -> tp.Tuple[int, float, int]:
     """(sample_rate, duration_seconds, channels) without decoding."""
     lib = _load()

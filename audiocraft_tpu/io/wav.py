@@ -142,13 +142,19 @@ def audio_read(filepath: tp.Union[str, Path], seek_time: float = 0.0,
 
 def audio_write(stem_name: tp.Union[str, Path], wav: np.ndarray,
                 sample_rate: int, format: str = 'wav',
+                mp3_rate: int = 320, ogg_rate: tp.Optional[int] = None,
                 normalize: bool = True, strategy: str = 'peak',
                 peak_clip_headroom_db: float = 1.0,
                 rms_headroom_db: float = 18.0,
                 loudness_headroom_db: float = 14.0,
                 loudness_compressor: bool = False,
+                make_parent_dir: bool = True,
                 add_suffix: bool = True) -> Path:
-    """Normalize-and-write (reference audio.py:164-228)."""
+    """Normalize-and-write (reference audio.py:164-228 / audio_write2).
+
+    ``format``: 'wav' (pure-numpy PCM writer) or 'mp3'/'ogg'/'flac'/'m4a'/
+    'opus' through the native libavcodec encoder.  ``mp3_rate``/``ogg_rate``
+    are kbps (ogg None = encoder default, matching audio_write2)."""
     import jax.numpy as jnp
     assert wav.dtype.kind == 'f', "wav is not a floating point array"
     assert wav.ndim in (1, 2), "wav should be [C, T] or [T]"
@@ -160,7 +166,20 @@ def audio_write(stem_name: tp.Union[str, Path], wav: np.ndarray,
         rms_headroom_db=rms_headroom_db,
         loudness_headroom_db=loudness_headroom_db,
         loudness_compressor=loudness_compressor, sample_rate=sample_rate))
-    assert format == 'wav', f"only wav output supported natively, got {format}"
-    path = Path(str(stem_name) + ('.wav' if add_suffix else ''))
-    wav_write(wav, path, sample_rate)
+    path = Path(str(stem_name) + (f'.{format}' if add_suffix else ''))
+    if make_parent_dir:
+        path.parent.mkdir(exist_ok=True, parents=True)
+    if format == 'wav':
+        wav_write(wav, path, sample_rate)
+        return path
+    from .native import encode_audio
+    bitrate = {'mp3': mp3_rate, 'ogg': ogg_rate}.get(format)
+    try:
+        encode_audio(path, wav, sample_rate, format=format,
+                     bitrate_kbps=bitrate)
+    except Exception:
+        # no half-written files (reference audio.py:221-227)
+        if path.exists():
+            path.unlink()
+        raise
     return path

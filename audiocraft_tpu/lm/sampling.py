@@ -21,6 +21,9 @@ def multinomial(key: jax.Array, probs: jax.Array) -> jax.Array:
 
 
 def sample_top_k(key: jax.Array, probs: jax.Array, k: int) -> jax.Array:
+    # k beyond the vocab degenerates to plain sampling (small debug/test
+    # vocabularies with the serving default top_k=250)
+    k = min(k, probs.shape[-1])
     top_k_value = jax.lax.top_k(probs, k)[0]
     min_value_top_k = top_k_value[..., -1:]
     probs = probs * (probs >= min_value_top_k)

@@ -248,6 +248,141 @@ int act_audio_info(const char* path, double* out_duration, int* out_channels,
 
 void act_free_buffer(float* data) { free(data); }
 
+// Encode interleaved float32 PCM to a compressed container (the write half of
+// the reference's audio_write, /root/reference/audiocraft/data/audio.py:164-228,
+// which pipes f32le PCM to the ffmpeg binary — absent here, so we drive
+// libavformat/libavcodec directly).  `codec_name` selects the encoder
+// ("libmp3lame", "libvorbis", "flac", "aac", "libopus"); the muxer is guessed
+// from the output path's extension.  bitrate_kbps <= 0 lets the encoder pick
+// its default (vorbis quality mode etc.).
+int act_encode_audio(const char* path, const float* data, int64_t frames,
+                     int channels, int sample_rate, const char* codec_name,
+                     int bitrate_kbps, char* err, int err_len) {
+  const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
+  if (!codec) {
+    snprintf(err, err_len, "encoder '%s' not available", codec_name);
+    return -1;
+  }
+  AVFormatContext* fmt = nullptr;
+  int ret = avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (ret < 0 || !fmt) {
+    av_strerror(ret, err, err_len);
+    return -2;
+  }
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  av_channel_layout_default(&ctx->ch_layout, channels);
+  ctx->sample_rate = sample_rate;
+  if (codec->supported_samplerates) {
+    bool ok = false;
+    for (const int* r = codec->supported_samplerates; *r; ++r)
+      if (*r == sample_rate) { ok = true; break; }
+    if (!ok) {
+      snprintf(err, err_len, "%s does not support %d Hz", codec_name,
+               sample_rate);
+      avcodec_free_context(&ctx);
+      avformat_free_context(fmt);
+      return -3;
+    }
+  }
+  ctx->sample_fmt = codec->sample_fmts ? codec->sample_fmts[0]
+                                       : AV_SAMPLE_FMT_FLTP;
+  if (bitrate_kbps > 0) ctx->bit_rate = (int64_t)bitrate_kbps * 1000;
+  ctx->time_base = AVRational{1, sample_rate};
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  ret = avcodec_open2(ctx, codec, nullptr);
+  if (ret < 0) {
+    av_strerror(ret, err, err_len);
+    avcodec_free_context(&ctx);
+    avformat_free_context(fmt);
+    return -4;
+  }
+  AVStream* stream = avformat_new_stream(fmt, nullptr);
+  avcodec_parameters_from_context(stream->codecpar, ctx);
+  stream->time_base = ctx->time_base;
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
+    ret = avio_open(&fmt->pb, path, AVIO_FLAG_WRITE);
+    if (ret < 0) {
+      av_strerror(ret, err, err_len);
+      avcodec_free_context(&ctx);
+      avformat_free_context(fmt);
+      return -5;
+    }
+  }
+  ret = avformat_write_header(fmt, nullptr);
+  if (ret < 0) {
+    av_strerror(ret, err, err_len);
+    if (fmt->pb) avio_closep(&fmt->pb);
+    avcodec_free_context(&ctx);
+    avformat_free_context(fmt);
+    return -6;
+  }
+
+  // interleaved float -> the encoder's planar/packed native format
+  SwrContext* swr = nullptr;
+  ret = swr_alloc_set_opts2(&swr, &ctx->ch_layout, ctx->sample_fmt,
+                            sample_rate, &ctx->ch_layout, AV_SAMPLE_FMT_FLT,
+                            sample_rate, 0, nullptr);
+  if (ret < 0 || swr_init(swr) < 0) {
+    snprintf(err, err_len, "swr init failed");
+    if (fmt->pb) avio_closep(&fmt->pb);
+    avcodec_free_context(&ctx);
+    avformat_free_context(fmt);
+    return -7;
+  }
+
+  const int64_t chunk = ctx->frame_size > 0 ? ctx->frame_size : 4096;
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int status = 0;
+
+  auto drain = [&](AVFrame* f) -> int {
+    int r = avcodec_send_frame(ctx, f);
+    if (r < 0) return r;
+    for (;;) {
+      r = avcodec_receive_packet(ctx, pkt);
+      if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return 0;
+      if (r < 0) return r;
+      av_packet_rescale_ts(pkt, ctx->time_base, stream->time_base);
+      pkt->stream_index = stream->index;
+      r = av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+      if (r < 0) return r;
+    }
+  };
+
+  int64_t pos = 0;
+  while (pos < frames && status == 0) {
+    int64_t take = frames - pos < chunk ? frames - pos : chunk;
+    frame->nb_samples = (int)take;
+    av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
+    frame->format = ctx->sample_fmt;
+    frame->sample_rate = sample_rate;
+    if ((status = av_frame_get_buffer(frame, 0)) < 0) break;
+    const uint8_t* src[1] = {
+        (const uint8_t*)(data + (size_t)pos * channels)};
+    int got = swr_convert(swr, frame->extended_data, (int)take, src,
+                          (int)take);
+    if (got < 0) { status = got; break; }
+    frame->nb_samples = got;
+    frame->pts = pos;
+    status = drain(frame);
+    av_frame_unref(frame);
+    pos += take;
+  }
+  if (status == 0) status = drain(nullptr);  // flush encoder
+  if (status == 0) status = av_write_trailer(fmt);
+  if (status < 0) av_strerror(status, err, err_len);
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  swr_free(&swr);
+  if (fmt->pb) avio_closep(&fmt->pb);
+  avcodec_free_context(&ctx);
+  avformat_free_context(fmt);
+  return status < 0 ? -8 : 0;
+}
+
 // Decode a batch of files in parallel with an internal thread pool — the
 // native data-loader hot path (GIL-free, one decoder per worker).  Outputs
 // are per-item malloc'd buffers; out_status[i] == 0 on success.

@@ -60,6 +60,29 @@ def test_serve_health_and_generate(tmp_path):
             assert doc['metadata']['continuation'] is True
             assert base64.b64decode(doc['audio_b64'])[:4] == b'RIFF'
 
+        # compressed response (reference audio_write mp3 path)
+        from audiocraft_tpu.io.native import available as native_available
+        if native_available():
+            req3 = urllib.request.Request(
+                f'http://127.0.0.1:{port}/generate',
+                data=json.dumps({'text': 'beep', 'duration': 1.0, 'seed': 7,
+                                 'return_format': 'mp3'}).encode(),
+                headers={'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req3, timeout=300) as r:
+                mp3 = r.read()
+                assert r.headers['Content-Type'] == 'audio/mpeg'
+                assert len(mp3) > 0 and mp3[:4] != b'RIFF'
+            # unknown format -> 400
+            bad_fmt = urllib.request.Request(
+                f'http://127.0.0.1:{port}/generate',
+                data=json.dumps({'text': 'x', 'duration': 1.0,
+                                 'return_format': 'xm'}).encode())
+            try:
+                urllib.request.urlopen(bad_fmt, timeout=300)
+                assert False, "should have errored"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+
         # probe: bad requests get clean errors
         for bad_body in ({'duration': 1.0}, {'text': 'x', 'duration': -3}):
             bad = urllib.request.Request(
@@ -164,6 +187,62 @@ def test_ui_predict_headless(tmp_path):
     with _pytest.raises(RuntimeError):
         predict(model, "x", melody=(32000, np.zeros(32000, np.float32)),
                 duration=1.0, seed=1)
+
+
+def test_ui_predict_video_surface(tmp_path):
+    """The reference predict's full surface (app.py:244-330): title card,
+    background, settings text, portrait orientation -> an MP4 with embedded
+    metadata, returned as the reference triple (video, wav, seed)."""
+    from audiocraft_tpu.apps.ui import predict
+    from audiocraft_tpu.gen.musicgen import get_debug_musicgen
+    from audiocraft_tpu.io import video as vid
+
+    if not vid.available():
+        pytest.skip("native video muxer not built")
+    model = get_debug_musicgen(jax.random.PRNGKey(0))
+    # background image for the card
+    from PIL import Image
+    bg = tmp_path / "bg.png"
+    Image.new("RGB", (64, 64), (10, 60, 90)).save(bg)
+
+    video_path, wav_path, seed = predict(
+        model, "test tune", duration=1.0, seed=11, return_video=True,
+        title="My Song", background=str(bg), video_orientation="Portrait",
+        settings_font_color="#ffcc00", settings_font_size=20)
+    assert wav_path.exists() and seed == 11
+    assert video_path.exists() and video_path.suffix == ".mp4"
+    tags = vid.read_metadata(video_path)
+    joined = " ".join(f"{k}={v}" for k, v in tags.items())
+    assert "My Song" in joined
+
+
+def test_history_delete_all_and_admin(tmp_path):
+    from audiocraft_tpu.apps.history import (GenerationHistory, admin_stats,
+                                             render_admin_html)
+    from audiocraft_tpu.io.wav import wav_write
+
+    root = tmp_path / "hist"
+    for user in ("alice", "bob"):
+        hist = GenerationHistory(root, user=user)
+        wav = np.zeros((1, 1600), np.float32)
+        p = tmp_path / f"{user}.wav"
+        wav_write(wav, p, 16000)
+        hist.save(p, label=f"{user} tune", metadata={"seed": 1})
+
+    stats = admin_stats(root)
+    assert stats["users"] == 2
+    assert stats["entries"] == 2
+    assert stats["audio_files"] == 2
+    assert stats["disk_total_gb"] > 0
+    html = render_admin_html(root)
+    assert "History admin" in html and "users" in html
+
+    # delete_all archives first (reference user_history.py:453-480)
+    alice = GenerationHistory(root, user="alice")
+    archive = alice.delete_all(archive_dir=tmp_path / "archives")
+    assert archive is not None and archive.exists()
+    assert alice.list() == []
+    assert admin_stats(root)["entries"] == 1  # bob untouched
 
 
 def test_ui_build_requires_gradio():

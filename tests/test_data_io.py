@@ -121,6 +121,50 @@ def test_audio_write_normalizes(tmp_path):
     assert np.abs(back).max() <= 1.0
 
 
+@pytest.mark.parametrize("fmt", ["mp3", "ogg", "flac", "m4a"])
+def test_audio_write_compressed_roundtrip(tmp_path, fmt):
+    """Compressed audio_write (reference audio.py:164-228 / audio_write2:
+    wav+mp3/ogg/flac; m4a is a bonus) roundtrips through our own reader
+    sample-aligned: correlation of the decoded wave against the normalized
+    input stays ~1 over the interior."""
+    from audiocraft_tpu.io.native import available
+    if not available():
+        pytest.skip("native codec library not built")
+    sr = 32000
+    t = np.arange(sr, dtype=np.float32) / sr
+    wav = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                    0.5 * np.sin(2 * np.pi * 660 * t)])
+    p = audio_write(tmp_path / f"rt_{fmt}", wav, sr, format=fmt,
+                    strategy='peak')
+    assert p.suffix == f'.{fmt}'
+    back, sr2 = audio_read(p)
+    assert sr2 == sr and back.shape[0] == 2
+    n = min(back.shape[1], wav.shape[1])
+    assert n > sr * 0.95  # length preserved within codec padding
+    for ch in range(2):
+        corr = np.corrcoef(back[ch, 1000:n - 1000],
+                           wav[ch, 1000:n - 1000])[0, 1]
+        assert corr > 0.995, (fmt, ch, corr)
+
+
+def test_audio_write_compressed_no_half_files(tmp_path):
+    """A failed encode must not leave a half-written file behind
+    (reference audio.py:221-227)."""
+    from audiocraft_tpu.io.native import available
+    if not available():
+        pytest.skip("native codec library not built")
+    wav = _sine()
+    # libmp3lame does not support 7000 Hz -> native encoder errors out
+    with pytest.raises(Exception):
+        audio_write(tmp_path / "bad", wav, 7000, format='mp3')
+    assert not (tmp_path / "bad.mp3").exists()
+
+
+def test_audio_write_unknown_format(tmp_path):
+    with pytest.raises(ValueError):
+        audio_write(tmp_path / "x", _sine(), 32000, format='xm')
+
+
 # ------------------------------------------------------------------ dataset
 
 def _make_corpus(tmp_path, n=5, sr=16000):
