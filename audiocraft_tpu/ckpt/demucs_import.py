@@ -66,9 +66,13 @@ def _enc_layer(sd: StateDict, prefix: str) -> dict:
 
 
 def _dec_layer(sd: StateDict, prefix: str) -> dict:
-    return {'rewrite': _conv(sd, f'{prefix}.rewrite'),
-            'convtr': _conv(sd, f'{prefix}.conv_tr'),
-            'dconv': _dconv(sd, f'{prefix}.dconv')}
+    p = {'rewrite': _conv(sd, f'{prefix}.rewrite'),
+         'convtr': _conv(sd, f'{prefix}.conv_tr')}
+    # published htdemucs runs dconv_mode=1 (encoder only) -> decoder layers
+    # have no dconv keys; import it only when a non-default checkpoint has it
+    if f'{prefix}.dconv.layers.0.0.weight' in sd:
+        p['dconv'] = _dconv(sd, f'{prefix}.dconv')
+    return p
 
 
 def _attn_from_inproj(sd: StateDict, prefix: str, attn: str) -> dict:
@@ -84,19 +88,29 @@ def _attn_from_inproj(sd: StateDict, prefix: str, attn: str) -> dict:
 
 
 def _tf_layer(sd: StateDict, prefix: str, cross: bool) -> dict:
+    """Self layers are demucs MyTransformerEncoderLayer (norm1 = attention
+    pre-norm, norm2 = FFN pre-norm); cross layers are
+    CrossTransformerEncoderLayer where norm1 norms the QUERY stream,
+    norm2 norms the KV SOURCE and norm3 is the FFN pre-norm
+    (demucs/transformer.py forward, norm_first=True).  Both end with
+    norm_out (MyGroupNorm(1, d)) when t_norm_out=True — the published
+    configuration."""
     attn = 'cross_attn' if cross else 'self_attn'
     p = {
         **_attn_from_inproj(sd, prefix, attn),
         'norm1': _norm(sd, f'{prefix}.norm1'),
-        'norm2': _norm(sd, f'{prefix}.norm2'),
         'lin1': _conv(sd, f'{prefix}.linear1'),
         'lin2': _conv(sd, f'{prefix}.linear2'),
         'scale1': _arr(sd, f'{prefix}.gamma_1.scale'),
         'scale2': _arr(sd, f'{prefix}.gamma_2.scale'),
     }
-    if cross and f'{prefix}.norm3.weight' in sd:
-        # cross layers norm the kv source (norm3 in demucs' naming)
-        p['norm_kv'] = _norm(sd, f'{prefix}.norm3')
+    if cross:
+        p['norm_kv'] = _norm(sd, f'{prefix}.norm2')
+        p['norm2'] = _norm(sd, f'{prefix}.norm3')
+    else:
+        p['norm2'] = _norm(sd, f'{prefix}.norm2')
+    if f'{prefix}.norm_out.weight' in sd:
+        p['norm_out'] = _norm(sd, f'{prefix}.norm_out')
     return p
 
 
@@ -127,3 +141,85 @@ def import_htdemucs(model, sd_in: tp.Mapping[str, np.ndarray]
         if f'{name}.weight' in sd:
             params[name] = _conv(sd, name)
     return params, sd.unused()
+
+
+def htdemucs_state_schema(cfg) -> tp.Set[str]:
+    """Expected key set of a published htdemucs torch state dict for `cfg`
+    (`audiocraft_tpu.nn.demucs.HTDemucsConfig`).
+
+    Written independently of the importer/param-tree, straight from the
+    demucs v4 module layout, so schema-vs-importer drift fails tests instead
+    of shipping.  Sources of each naming (the demucs package, v4):
+
+    * ``demucs/hdemucs.py`` HEncLayer: ``conv``, ``rewrite`` (norm1/norm2 are
+      Identity at the published ``norm_starts=4`` with depth 4 — no keys),
+      plus ``dconv`` (dconv_mode=1: ENCODER only); HDecLayer: ``conv_tr``,
+      ``rewrite`` — and NO dconv.
+    * ``demucs/demucs.py`` DConv: ``layers.{j}`` Sequential
+      [0 conv k3, 1 GroupNorm, 2 GELU, 3 conv 1x1, 4 GroupNorm, 5 GLU,
+      6 LayerScale(.scale)], depth 2.
+    * ``demucs/transformer.py`` CrossTransformerEncoder: ``norm_in``,
+      ``norm_in_t`` (LayerNorm); even layers MyTransformerEncoderLayer
+      (``self_attn.in_proj_weight/bias``, ``self_attn.out_proj``,
+      ``linear1/2``, ``norm1/2``, ``gamma_1/2.scale``, ``norm_out`` at the
+      published t_norm_out=True); odd layers CrossTransformerEncoderLayer
+      (same but ``cross_attn`` and ``norm1/2/3``).
+    * ``demucs/htdemucs.py`` HTDemucs: ``freq_emb.embedding.weight``
+      (ScaledEmbedding), ``channel_upsampler{,_t}`` /
+      ``channel_downsampler{,_t}`` (all Conv1d; present when
+      bottom_channels != channels * growth**(depth-1)).
+    """
+    keys: tp.Set[str] = set()
+
+    def conv(prefix, bias=True):
+        keys.add(f'{prefix}.weight')
+        if bias:
+            keys.add(f'{prefix}.bias')
+
+    def norm(prefix):
+        keys.add(f'{prefix}.weight')
+        keys.add(f'{prefix}.bias')
+
+    def dconv(prefix, depth=2):
+        for j in range(depth):
+            conv(f'{prefix}.layers.{j}.0')
+            norm(f'{prefix}.layers.{j}.1')
+            conv(f'{prefix}.layers.{j}.3')
+            norm(f'{prefix}.layers.{j}.4')
+            keys.add(f'{prefix}.layers.{j}.6.scale')
+
+    for branch in ('encoder', 'tencoder'):
+        for i in range(cfg.depth):
+            conv(f'{branch}.{i}.conv')
+            conv(f'{branch}.{i}.rewrite')
+            dconv(f'{branch}.{i}.dconv')
+    for branch in ('decoder', 'tdecoder'):
+        for i in range(cfg.depth):
+            conv(f'{branch}.{i}.conv_tr')
+            conv(f'{branch}.{i}.rewrite')
+
+    norm('crosstransformer.norm_in')
+    norm('crosstransformer.norm_in_t')
+    for layers in ('layers', 'layers_t'):
+        for i in range(cfg.t_depth):
+            base = f'crosstransformer.{layers}.{i}'
+            attn = 'cross_attn' if i % 2 == 1 else 'self_attn'
+            keys.add(f'{base}.{attn}.in_proj_weight')
+            keys.add(f'{base}.{attn}.in_proj_bias')
+            conv(f'{base}.{attn}.out_proj')
+            conv(f'{base}.linear1')
+            conv(f'{base}.linear2')
+            norm(f'{base}.norm1')
+            norm(f'{base}.norm2')
+            if i % 2 == 1:
+                norm(f'{base}.norm3')
+            norm(f'{base}.norm_out')
+            keys.add(f'{base}.gamma_1.scale')
+            keys.add(f'{base}.gamma_2.scale')
+
+    keys.add('freq_emb.embedding.weight')
+    if cfg.bottom_channels != cfg.channels * cfg.growth ** (cfg.depth - 1):
+        for name in ('channel_upsampler', 'channel_downsampler',
+                     'channel_upsampler_t', 'channel_downsampler_t'):
+            conv(name)
+    return keys

@@ -166,11 +166,13 @@ def _istft(z: jax.Array, nfft: int, hop: int, length: int) -> jax.Array:
 
 @dataclasses.dataclass(frozen=True)
 class DConvSpec:
-    """Dilated residual branch inside every encoder/decoder layer
+    """Dilated residual branch inside every encoder layer
     (two blocks: conv k3 dilation 2^j -> GroupNorm(1) -> GELU -> conv 1x1 to
-    2x -> GroupNorm -> GLU -> LayerScale, residual add)."""
+    2x -> GroupNorm -> GLU -> LayerScale, residual add).  compress=8 is the
+    published htdemucs ``dconv_comp`` (the demucs DConv class default is 4,
+    but HTDemucs overrides it)."""
     channels: int
-    compress: int = 4
+    compress: int = 8
     depth: int = 2
 
     @property
@@ -268,6 +270,10 @@ class HEncLayer:
 
 @dataclasses.dataclass(frozen=True)
 class HDecLayer:
+    """Decoder layer.  The published htdemucs runs ``dconv_mode=1`` (DConv in
+    the ENCODER only: HTDemucs constructs HDecLayer with ``dconv=dconv_mode &
+    2 == 0``), so decoder layers carry no dconv by default — a state dict
+    from the hub has no ``decoder.*.dconv.*`` keys."""
     chin: int
     chout: int
     freq: bool
@@ -276,6 +282,7 @@ class HDecLayer:
     stride: int = 4
     norm_groups: int = 4
     use_norm: bool = False
+    use_dconv: bool = False
 
     @property
     def dconv(self) -> DConvSpec:
@@ -297,7 +304,8 @@ class HDecLayer:
                      minval=-1 / math.sqrt(self.chin * self.kernel),
                      maxval=1 / math.sqrt(self.chin * self.kernel)),
                      'bias': jnp.zeros((self.chout,))}}
-        p['dconv'] = self.dconv.init(k3)
+        if self.use_dconv:
+            p['dconv'] = self.dconv.init(k3)
         return p
 
     def __call__(self, params, x, skip):
@@ -305,17 +313,19 @@ class HDecLayer:
         if self.freq:
             h = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
             h = _glu(_conv2d(params['rewrite'], h), axis=1)
-            B, C, F, T = h.shape
-            flat = h.transpose(0, 2, 1, 3).reshape(B * F, C, T)
-            flat = self.dconv(params['dconv'], flat)
-            h = flat.reshape(B, F, C, T).transpose(0, 2, 1, 3)
+            if 'dconv' in params:
+                B, C, F, T = h.shape
+                flat = h.transpose(0, 2, 1, 3).reshape(B * F, C, T)
+                flat = self.dconv(params['dconv'], flat)
+                h = flat.reshape(B, F, C, T).transpose(0, 2, 1, 3)
             y = _convtr2d(params['convtr'], h, (self.stride, 1))
             trim = (self.kernel - self.stride) // 2
             y = y[:, :, trim:y.shape[2] - trim, :]
         else:
             h = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
             h = _glu(_conv1d(params['rewrite'], h), axis=1)
-            h = self.dconv(params['dconv'], h)
+            if 'dconv' in params:
+                h = self.dconv(params['dconv'], h)
             y = _convtr1d(params['convtr'], h, self.stride)
             trim = (self.kernel - self.stride) // 2
             y = y[:, :, trim:y.shape[-1] - trim]
@@ -327,11 +337,39 @@ class HDecLayer:
 # ------------------------------------------------------------ transformer
 
 def _sin_embed(length: int, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """demucs create_sin_embedding (transformer.py): [cos | sin] halves with
+    the (half_dim - 1) denominator."""
     pos = jnp.arange(length)[:, None].astype(jnp.float32)
     half = dim // 2
-    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half) / half)
+    freqs = max_period ** (-jnp.arange(half) / max(half - 1, 1))
     args = pos * freqs[None, :]
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _sin_embed_2d(dim: int, height: int, width: int,
+                  max_period: float = 10000.0) -> jax.Array:
+    """demucs create_2d_sin_embedding: first half of the channels encodes
+    WIDTH (time, interleaved sin/cos), second half HEIGHT (frequency).
+    Returns [dim, height, width]."""
+    d = dim // 2
+    div = jnp.exp(jnp.arange(0, d, 2) * -(math.log(max_period) / d))
+    pos_w = jnp.arange(width).astype(jnp.float32)[:, None]  # [W, d/2]
+    pos_h = jnp.arange(height).astype(jnp.float32)[:, None]
+    pe = jnp.zeros((dim, height, width))
+    n = div.shape[0]                             # = ceil(d/2)
+    sin_w = jnp.broadcast_to(jnp.sin(pos_w * div).T[:, None, :],
+                             (n, height, width))
+    cos_w = jnp.broadcast_to(jnp.cos(pos_w * div).T[:, None, :],
+                             (n, height, width))
+    sin_h = jnp.broadcast_to(jnp.sin(pos_h * div).T[:, :, None],
+                             (n, height, width))
+    cos_h = jnp.broadcast_to(jnp.cos(pos_h * div).T[:, :, None],
+                             (n, height, width))
+    pe = pe.at[0:d:2].set(sin_w[:len(range(0, d, 2))])
+    pe = pe.at[1:d:2].set(cos_w[:len(range(1, d, 2))])
+    pe = pe.at[d::2].set(sin_h[:len(range(d, dim, 2))])
+    pe = pe.at[d + 1::2].set(cos_h[:len(range(d + 1, dim, 2))])
+    return pe
 
 
 @dataclasses.dataclass(frozen=True)
@@ -343,6 +381,9 @@ class CrossTransformer:
     num_heads: int = 8
     depth: int = 5
     hidden_scale: float = 4.0
+    #: published htdemucs runs t_norm_out=True: every layer ends with a
+    #: GroupNorm(1, dim) over the (tokens, channels) block
+    use_norm_out: bool = True
 
     def _layer_init(self, key, cross):
         k = iter(jax.random.split(key, 8))
@@ -352,6 +393,9 @@ class CrossTransformer:
             'norm2': {'weight': jnp.ones((d,)), 'bias': jnp.zeros((d,))},
             **({'norm_kv': {'weight': jnp.ones((d,)),
                             'bias': jnp.zeros((d,))}} if cross else {}),
+            **({'norm_out': {'weight': jnp.ones((d,)),
+                             'bias': jnp.zeros((d,))}}
+               if self.use_norm_out else {}),
             'q': _linear_init(next(k), d, d), 'k': _linear_init(next(k), d, d),
             'v': _linear_init(next(k), d, d), 'o': _linear_init(next(k), d, d),
             'lin1': _linear_init(next(k), h, d),
@@ -395,12 +439,28 @@ class CrossTransformer:
         h = jax.nn.gelu(h @ p['lin1']['weight'].T + p['lin1']['bias'],
                         approximate=False)
         h = h @ p['lin2']['weight'].T + p['lin2']['bias']
-        return x + p['scale2'] * h
+        x = x + p['scale2'] * h
+        if 'norm_out' in p:
+            # demucs MyGroupNorm(1, d): GroupNorm over the whole (L, D)
+            # block per sample, per-channel affine
+            mean = x.mean(axis=(1, 2), keepdims=True)
+            var = x.var(axis=(1, 2), keepdims=True)
+            x = ((x - mean) * jax.lax.rsqrt(var + 1e-5)
+                 * p['norm_out']['weight'] + p['norm_out']['bias'])
+        return x
 
-    def __call__(self, params, xs, xt):
-        """xs: [B, Ls, D] spectral tokens, xt: [B, Lt, D] time tokens."""
-        xs = _layer_norm_last(params['norm_in_s'], xs) + \
-            _sin_embed(xs.shape[1], self.dim)[None]
+    def __call__(self, params, xs, xt,
+                 spec_shape: tp.Optional[tp.Tuple[int, int]] = None):
+        """xs: [B, Ls, D] spectral tokens (time-major, freq-minor when
+        ``spec_shape=(Fq, Tq)`` is given — demucs' ``b c fr t -> b (t fr) c``
+        layout with a 2-D sin embedding), xt: [B, Lt, D] time tokens."""
+        if spec_shape is not None:
+            fq, tq = spec_shape
+            pos_s = _sin_embed_2d(self.dim, fq, tq)     # [D, Fq, Tq]
+            pos_s = pos_s.transpose(2, 1, 0).reshape(tq * fq, self.dim)
+        else:
+            pos_s = _sin_embed(xs.shape[1], self.dim)
+        xs = _layer_norm_last(params['norm_in_s'], xs) + pos_s[None]
         xt = _layer_norm_last(params['norm_in_t'], xt) + \
             _sin_embed(xt.shape[1], self.dim)[None]
         for i in range(self.depth):
@@ -426,6 +486,11 @@ class HTDemucsConfig:
     bottom_channels: int = 512
     sample_rate: int = 44100
     segment: float = 7.8
+    #: ScaledEmbedding scale x HTDemucs freq_emb weight (demucs htdemucs.py:
+    #: emb_scale=10, freq_emb=0.2): the stored embedding weight is applied
+    #: as weight * emb_scale * freq_emb_weight
+    freq_emb_weight: float = 0.2
+    emb_scale: float = 10.0
 
     @property
     def hop(self) -> int:
@@ -487,13 +552,10 @@ class HTDemucs:
                 next(keys), (c.nfft // 2 // 4, c.channels)),
         }
         if c.bottom_channels != self.bottom_dim:
-            for name in ('channel_upsampler', 'channel_downsampler'):
-                p[name] = _conv_init(next(keys), c.bottom_channels
-                                     if 'up' in name else self.bottom_dim,
-                                     self.bottom_dim
-                                     if 'up' in name else c.bottom_channels,
-                                     1, 1)
-            for name in ('channel_upsampler_t', 'channel_downsampler_t'):
+            # all four are Conv1d in demucs (the spec branch is flattened to
+            # [B, C, Fq*T] before upsampling, htdemucs.py forward)
+            for name in ('channel_upsampler', 'channel_downsampler',
+                         'channel_upsampler_t', 'channel_downsampler_t'):
                 p[name] = _conv_init(next(keys), c.bottom_channels
                                      if 'up' in name else self.bottom_dim,
                                      self.bottom_dim
@@ -531,8 +593,10 @@ class HTDemucs:
         for i, layer in enumerate(enc_f):
             h_s = layer(params['encoder'][f'layer{i}'], h_s)
             if i == 0:
+                # ScaledEmbedding(scale=emb_scale) x freq_emb weight
                 fpos = params['freq_emb'][:h_s.shape[2]]  # [F1, C]
-                h_s = h_s + fpos.T[None, :, :, None]
+                h_s = h_s + (c.freq_emb_weight * c.emb_scale
+                             * fpos.T[None, :, :, None])
             skips_s.append(h_s)
         for i, layer in enumerate(enc_t):
             h_t = layer(params['tencoder'][f'layer{i}'], h_t)
@@ -541,17 +605,22 @@ class HTDemucs:
         # --- bottleneck tokens
         Bc, C, Fq, Tq = h_s.shape
         if 'channel_upsampler' in params:
-            h_s = _conv2d(params['channel_upsampler'], h_s)
+            h_s = _conv1d(params['channel_upsampler'],
+                          h_s.reshape(B, C, Fq * Tq)
+                          ).reshape(B, -1, Fq, Tq)
             h_t = _conv1d(params['channel_upsampler_t'], h_t)
             C = self.cfg.bottom_channels
-        tok_s = h_s.reshape(B, C, Fq * Tq).transpose(0, 2, 1)
+        # demucs token layout: b c fr t -> b (t fr) c (time-major)
+        tok_s = h_s.transpose(0, 3, 2, 1).reshape(B, Tq * Fq, C)
         tok_t = h_t.transpose(0, 2, 1)
         tok_s, tok_t = self.transformer(params['crosstransformer'],
-                                        tok_s, tok_t)
-        h_s = tok_s.transpose(0, 2, 1).reshape(B, C, Fq, Tq)
+                                        tok_s, tok_t, spec_shape=(Fq, Tq))
+        h_s = tok_s.reshape(B, Tq, Fq, C).transpose(0, 3, 2, 1)
         h_t = tok_t.transpose(0, 2, 1)
         if 'channel_downsampler' in params:
-            h_s = _conv2d(params['channel_downsampler'], h_s)
+            h_s = _conv1d(params['channel_downsampler'],
+                          h_s.reshape(B, self.cfg.bottom_channels, Fq * Tq)
+                          ).reshape(B, -1, Fq, Tq)
             h_t = _conv1d(params['channel_downsampler_t'], h_t)
 
         for i, layer in enumerate(dec_f):
