@@ -37,6 +37,11 @@ def main(argv=None):
     parser.add_argument('--batch', type=int, default=8)
     parser.add_argument('--segment', type=float, default=1.0)
     parser.add_argument('--synthetic', action='store_true')
+    parser.add_argument('--fad', action='store_true',
+                        help='also compute codec-FAD + codec-KLD between '
+                             'the originals and their reconstructions '
+                             '(self-contained embedder: metrics.'
+                             'make_codec_embed_fn)')
     parser.add_argument('--json', default=None,
                         help='also write the metrics dict to this file')
     args = parser.parse_args(argv)
@@ -83,6 +88,19 @@ def main(argv=None):
     card = model.cardinality
     counts = np.zeros((n_q, card), np.int64)
     sisnrs, mels, l1s = [], [], []
+    def _recon(p, x):
+        codes, scale = model.encode(p, x)
+        return model.decode(p, codes, scale)[..., :x.shape[-1]]
+    recon_fn = jax.jit(_recon) if args.fad else None
+    fad = kld_rows = None
+    if args.fad:
+        from ..metrics import (FrechetAudioDistance, make_codec_embed_fn,
+                               make_codec_prob_fn)
+        embed_fn = make_codec_embed_fn(model, params,
+                                       window_seconds=min(args.segment, 1.0))
+        prob_fn = make_codec_prob_fn(model, params)
+        fad = FrechetAudioDistance(embed_fn, model.sample_rate)
+        kld_rows = {'ref': [], 'gen': []}
     for x in batches:
         codes, snr, mel, l1 = roundtrip(params, jnp.asarray(x))
         sisnrs.append(float(snr))
@@ -91,6 +109,11 @@ def main(argv=None):
         c = np.asarray(codes)                      # [B, K, T]
         for k in range(n_q):
             counts[k] += np.bincount(c[:, k].ravel(), minlength=card)
+        if args.fad:
+            recon = np.asarray(recon_fn(params, jnp.asarray(x)))
+            fad.add(reference=x, generated=recon)
+            kld_rows['ref'].append(prob_fn(x, model.sample_rate))
+            kld_rows['gen'].append(prob_fn(recon, model.sample_rate))
 
     probs = counts / np.maximum(counts.sum(axis=1, keepdims=True), 1)
     with np.errstate(divide='ignore', invalid='ignore'):
@@ -109,6 +132,13 @@ def main(argv=None):
         'n_segments': len(batches) * args.batch,
         'segment_seconds': args.segment,
     }
+    if args.fad:
+        from ..metrics import kl_divergence_metric
+        metrics['fad_codec'] = fad.compute()
+        kld = kl_divergence_metric(np.concatenate(kld_rows['ref']),
+                                   np.concatenate(kld_rows['gen']))
+        metrics['kld_codec'] = kld['kld']
+        metrics['kld_codec_symmetric'] = kld['kld_symmetric']
     print(json.dumps(metrics))
     if args.json:
         with open(args.json, 'w') as f:

@@ -63,6 +63,14 @@ def main(argv=None):
         model = load_model(args.checkpoint)
         if args.optimize:
             model.optimize_for_serving()
+        if melody is not None:
+            names = [n for n, _ in model.condition_provider.conditioners]
+            if 'self_wav' not in names:
+                raise SystemExit(
+                    f"--melody requires a melody-conditioned checkpoint (a "
+                    f"'self_wav' chroma conditioner); {args.checkpoint!r} "
+                    f"has conditioners {names}. Use a *-melody checkpoint "
+                    f"or drop --melody.")
     elif melody is not None:
         model = get_debug_melody_musicgen(jax.random.PRNGKey(args.seed))
     else:

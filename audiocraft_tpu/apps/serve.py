@@ -357,21 +357,21 @@ def make_handler(service: GenerationService):
                 # compressed response via the native libavcodec encoder
                 # (reference audio_write mp3/ogg/flac, audio.py:164-228)
                 try:
-                    from ..io.native import encode_audio
+                    from ..io.native import MIME_TYPES, encode_audio
                     with tempfile.NamedTemporaryFile(
                             suffix=f'.{fmt}') as tmp:
                         encode_audio(tmp.name, result['wav'],
                                      result['sample_rate'], format=fmt)
                         body = open(tmp.name, 'rb').read()
                 except ValueError as exc:
+                    # unknown format OR codec/sample-rate mismatch (e.g.
+                    # opus at 32 kHz): client error, not a server fault
                     self._json(400, {'error': str(exc)})
                     return
                 except Exception as exc:
                     self._json(500, {'error': f'encode failed: {exc}'})
                     return
-                mime = {'mp3': 'audio/mpeg', 'ogg': 'audio/ogg',
-                        'flac': 'audio/flac', 'm4a': 'audio/mp4',
-                        'opus': 'audio/opus'}[fmt]
+                mime = MIME_TYPES.get(fmt, 'application/octet-stream')
             if req.get('return_video'):
                 # animated-waveform MP4 with embedded metadata (reference
                 # make_waveform + mutagen path, modules/gradio.py:35-273)

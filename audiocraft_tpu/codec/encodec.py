@@ -191,6 +191,26 @@ class EncodecModel:
                            lstm_kernel=lstm_kernel).astype(jnp.float32)
         return self.postprocess(out, scale)
 
+    def encode_to_latent(self, params: dict, x: jax.Array,
+                         compute_dtype: tp.Optional[tp.Any] = None
+                         ) -> jax.Array:
+        """x: [B, C, T] -> continuous encoder latent [B, D, T_frames]
+        (pre-quantization).  Feature-extractor view of the codec — the
+        default embedding network for the FAD/KLD metrics (metrics.py),
+        standing in for the reference's VGGish/PaSST embedders
+        (MODEL_CARD.md:31-37) which need network weights we can't fetch."""
+        assert x.ndim == 3
+        if compute_dtype is None and self.compute_dtype is not None:
+            compute_dtype = jnp.dtype(self.compute_dtype)
+        x, _ = self.preprocess(x)
+        enc_params = params['encoder']
+        if compute_dtype is not None:
+            enc_params = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, enc_params)
+            x = x.astype(compute_dtype)
+        return self.encoder(enc_params, x).astype(jnp.float32)
+
     def decode_latent(self, params: dict, codes: jax.Array) -> jax.Array:
         return self.quantizer.decode(_q_state(self.quantizer, params['quantizer']), codes)
 

@@ -18,8 +18,13 @@ from .audio_dataset import AudioDataset, AudioMeta, SegmentInfo
 
 
 def _clusterify_meta(meta: AudioMeta) -> AudioMeta:
-    """Resolve paths for the current environment (reference :25-38)."""
-    meta.path = AudioCraftEnvironment.resolve_reference_path(meta.path)
+    """Resolve paths for the current environment (reference :25-38):
+    dataset-mapper regex rules first, then the //reference placeholder."""
+    meta.path = AudioCraftEnvironment.resolve_reference_path(
+        AudioCraftEnvironment.apply_dataset_mappers(meta.path))
+    if meta.info_path is not None:
+        meta.info_path.zip_path = AudioCraftEnvironment.apply_dataset_mappers(
+            meta.info_path.zip_path)
     return meta
 
 

@@ -95,6 +95,17 @@ ENCODERS = {
     'opus': ('libopus', 0),
 }
 
+#: format -> MIME type, kept next to ENCODERS so the two stay in sync
+#: (apps/serve.py response headers use this table).
+MIME_TYPES = {
+    'wav': 'audio/wav',
+    'mp3': 'audio/mpeg',
+    'ogg': 'audio/ogg',
+    'flac': 'audio/flac',
+    'm4a': 'audio/mp4',
+    'opus': 'audio/opus',
+}
+
 
 def encode_audio(path: tp.Union[str, Path], wav: np.ndarray, sample_rate: int,
                  format: tp.Optional[str] = None,
@@ -125,6 +136,13 @@ def encode_audio(path: tp.Union[str, Path], wav: np.ndarray, sample_rate: int,
         interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         wav.shape[1], wav.shape[0], int(sample_rate), codec_name.encode(),
         int(rate), err, len(err))
+    if ret == -3:
+        # codec rejected the sample rate (e.g. opus requires 48 kHz): a
+        # caller-input error, so raise the same type as an unknown format —
+        # apps/serve.py maps ValueError to HTTP 400 rather than 500.
+        raise ValueError(
+            f"{fmt!r} cannot encode sample_rate={sample_rate}: "
+            f"{err.value.decode(errors='replace')}")
     if ret != 0:
         raise RuntimeError(
             f"native encode failed ({ret}) for {path}: "

@@ -26,7 +26,76 @@ import typing as tp
 import numpy as np
 
 __all__ = ['frechet_distance', 'FrechetAudioDistance',
-           'kl_divergence_metric', 'clap_score', 'chroma_cosine']
+           'kl_divergence_metric', 'clap_score', 'chroma_cosine',
+           'make_codec_embed_fn', 'make_codec_prob_fn']
+
+
+def make_codec_embed_fn(model, params, window_seconds: float = 1.0,
+                        ) -> tp.Callable[[np.ndarray, int], np.ndarray]:
+    """Default FAD embedding network: EnCodec encoder latents.
+
+    The reference protocol embeds with VGGish (MODEL_CARD.md:31-37), whose
+    weights need network access; the codec's own encoder is a trained audio
+    feature extractor that ships with every checkpoint, so it is the
+    self-contained default ("codec-FAD").  Per non-overlapping window of
+    ``window_seconds``, the continuous latent frames are mean+std pooled:
+    ``embed_fn(wav [B, C, T], sr) -> [B * n_windows, 2 * latent_dim]``.
+    FAD values are comparable only within one embedder — true of any FAD
+    variant (VGGish-FAD vs PaSST-FAD differ too).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .io.audio_utils import convert_audio
+
+    latent = jax.jit(lambda p, x: model.encode_to_latent(p, x))
+
+    def embed_fn(wav: np.ndarray, sample_rate: int) -> np.ndarray:
+        x = jnp.asarray(np.asarray(wav, np.float32))
+        assert x.ndim == 3, "expected [B, C, T]"
+        x = convert_audio(x, sample_rate, model.sample_rate, 1)
+        emb = np.asarray(latent(params, x))          # [B, D, Tf]
+        w = max(int(round(window_seconds * model.frame_rate)), 2)
+        n = emb.shape[-1] // w
+        assert n >= 1, (
+            f"clip too short for a {window_seconds}s embedding window")
+        emb = emb[..., :n * w].reshape(emb.shape[0], emb.shape[1], n, w)
+        mean = emb.mean(axis=-1)                     # [B, D, n]
+        std = emb.std(axis=-1)
+        out = np.concatenate([mean, std], axis=1)    # [B, 2D, n]
+        return out.transpose(0, 2, 1).reshape(-1, out.shape[1])
+
+    return embed_fn
+
+
+def make_codec_prob_fn(model, params,
+                       ) -> tp.Callable[[np.ndarray, int], np.ndarray]:
+    """Default KLD "classifier": per-clip first-codebook token histogram.
+
+    The reference KLD protocol runs PaSST label distributions over
+    reference vs generated audio (MODEL_CARD.md:31-37); offline, the
+    codec's codebook-0 usage histogram is a distributional signature over
+    ``cardinality`` pseudo-classes.  ``prob_fn(wav [B, C, T], sr) ->
+    [B, cardinality]`` rows summing to 1; feed paired rows to
+    :func:`kl_divergence_metric`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .io.audio_utils import convert_audio
+
+    enc = jax.jit(lambda p, x: model.encode(p, x)[0])
+
+    def prob_fn(wav: np.ndarray, sample_rate: int) -> np.ndarray:
+        x = jnp.asarray(np.asarray(wav, np.float32))
+        assert x.ndim == 3
+        x = convert_audio(x, sample_rate, model.sample_rate, 1)
+        codes = np.asarray(enc(params, x))           # [B, K, Tf]
+        card = model.cardinality
+        return np.stack([np.bincount(c, minlength=card) / max(c.size, 1)
+                         for c in codes[:, 0]]).astype(np.float64)
+
+    return prob_fn
 
 
 def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,

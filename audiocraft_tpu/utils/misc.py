@@ -73,24 +73,106 @@ FP32_POLICY = DtypePolicy()
 
 # -------------------------------------------------------------- environment
 
-class AudioCraftEnvironment:
-    """Minimal environment resolution (reference environment.py:25-176):
-    env-var driven directories and a `//reference/` path convention."""
+def _guess_cluster_type() -> str:
+    """Identify the compute environment (reference utils/cluster.py:21-43,
+    mapped to TPU-world signals instead of sinfo probing)."""
+    if os.environ.get('SLURM_JOB_ID') or os.environ.get('SLURM_NODELIST'):
+        return 'slurm'
+    if os.environ.get('TPU_WORKER_HOSTNAMES') or \
+            os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        return 'tpu_pod'
+    return 'local'
 
-    @staticmethod
-    def get_cache_dir() -> str:
+
+class AudioCraftEnvironment:
+    """Team/cluster environment resolution (reference environment.py:25-176).
+
+    A yaml config (``AUDIOCRAFT_CONFIG``; the reference's
+    ``config/teams/<team>.yaml``) keyed by cluster name provides per-cluster
+    directories and ``dataset_mappers`` — regex→replacement rules applied to
+    every manifest path so the same manifest of files works across clusters
+    (reference environment.py:166-176).  Env vars override:
+    ``AUDIOCRAFT_TEAM``, ``AUDIOCRAFT_CLUSTER``, ``AUDIOCRAFT_DORA_DIR``,
+    ``AUDIOCRAFT_REFERENCE_DIR``, ``AUDIOCRAFT_CACHE_DIR``.
+    """
+
+    DEFAULT_TEAM = 'default'
+    _instance: tp.Optional['AudioCraftEnvironment'] = None
+
+    def __init__(self) -> None:
+        import re
+        self.team: str = os.environ.get('AUDIOCRAFT_TEAM', self.DEFAULT_TEAM)
+        self.cluster: str = os.environ.get('AUDIOCRAFT_CLUSTER',
+                                           _guess_cluster_type())
+        self._config: dict = {}
+        config_path = os.environ.get('AUDIOCRAFT_CONFIG', '')
+        if config_path:
+            import yaml
+            with open(config_path) as f:
+                self._config = yaml.safe_load(f) or {}
+        self._dataset_mappers: tp.List[tp.Tuple[tp.Any, str]] = []
+        mappers = self._cluster_config().get('dataset_mappers') or {}
+        for pattern, repl in mappers.items():
+            self._dataset_mappers.append((re.compile(pattern), repl))
+
+    def _cluster_config(self) -> dict:
+        cfg = self._config.get(self.cluster)
+        return cfg if isinstance(cfg, dict) else {}
+
+    @classmethod
+    def instance(cls) -> 'AudioCraftEnvironment':
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    @classmethod
+    def reset(cls) -> None:
+        """Force a reload on next use (reference environment.py:84-87)."""
+        cls._instance = None
+
+    @classmethod
+    def get_team(cls) -> str:
+        return cls.instance().team
+
+    @classmethod
+    def get_cluster(cls) -> str:
+        return cls.instance().cluster
+
+    @classmethod
+    def get_cache_dir(cls) -> str:
         return os.environ.get('AUDIOCRAFT_CACHE_DIR',
                               os.path.expanduser('~/.cache/audiocraft_tpu'))
 
-    @staticmethod
-    def get_reference_dir() -> str:
-        return os.environ.get('AUDIOCRAFT_REFERENCE_DIR', '')
+    @classmethod
+    def get_dora_dir(cls) -> str:
+        """Experiment-output directory (reference environment.py:103-111;
+        dora is the reference's xp manager — ours is just a directory)."""
+        inst = cls.instance()
+        return os.environ.get(
+            'AUDIOCRAFT_DORA_DIR',
+            str(inst._cluster_config().get('dora_dir', '')
+                or os.path.join(cls.get_cache_dir(), 'xps')))
+
+    @classmethod
+    def get_reference_dir(cls) -> str:
+        inst = cls.instance()
+        return os.environ.get(
+            'AUDIOCRAFT_REFERENCE_DIR',
+            str(inst._cluster_config().get('reference_dir', '')))
 
     @classmethod
     def resolve_reference_path(cls, path: tp.Union[str, os.PathLike]) -> str:
         path = str(path)
         if path.startswith('//reference'):
             return path.replace('//reference', cls.get_reference_dir())
+        return path
+
+    @classmethod
+    def apply_dataset_mappers(cls, path: str) -> str:
+        """Rewrite a manifest path with the cluster's regex rules
+        (reference environment.py:166-176); identity when none configured."""
+        for regex, repl in cls.instance()._dataset_mappers:
+            path = regex.sub(repl, path)
         return path
 
 

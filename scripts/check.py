@@ -164,7 +164,11 @@ def check_types(paths: list) -> list:
         try:
             mod = importlib.import_module(name)
         except Exception:
-            mod = None  # optional dep (gradio, transformers) or env-gated
+            # Only audiocraft_tpu.* names reach here (callers filter), and
+            # every package module must import on a bare CPU env — optional
+            # deps are lazy inside functions — so None is flagged as an
+            # issue by the caller.
+            mod = None
         modules[name] = mod
         return mod
 

@@ -267,3 +267,67 @@ def test_audio_read_mp3_dispatch():
     wav, sr = audio_read("/root/reference/assets/bach.mp3", seek_time=0.5,
                          duration=1.0)
     assert sr == 44100 and wav.shape == (2, 44100)
+
+
+def test_environment_dataset_mappers(tmp_path, monkeypatch):
+    """Cluster dataset-path mapping (reference environment.py:112-176):
+    regex mappers from the team yaml rewrite manifest paths, //reference
+    resolves against the configured reference_dir, env vars override."""
+    from audiocraft_tpu.utils.misc import AudioCraftEnvironment
+    from audiocraft_tpu.data.info_audio_dataset import clusterify_all_meta
+    from audiocraft_tpu.data.zip import PathInZip
+
+    cfg = tmp_path / 'team.yaml'
+    cfg.write_text(
+        'mycluster:\n'
+        '  reference_dir: /mnt/shared/ref\n'
+        '  dora_dir: /mnt/shared/xps\n'
+        '  dataset_mappers:\n'
+        '    "^/old_cluster/data": "/new_cluster/data"\n'
+        '    "\\\\.flac$": ".wav"\n')
+    monkeypatch.setenv('AUDIOCRAFT_CONFIG', str(cfg))
+    monkeypatch.setenv('AUDIOCRAFT_CLUSTER', 'mycluster')
+    monkeypatch.delenv('AUDIOCRAFT_REFERENCE_DIR', raising=False)
+    AudioCraftEnvironment.reset()
+    try:
+        assert AudioCraftEnvironment.get_cluster() == 'mycluster'
+        assert AudioCraftEnvironment.apply_dataset_mappers(
+            '/old_cluster/data/song.flac') == '/new_cluster/data/song.wav'
+        # untouched when no rule matches
+        assert AudioCraftEnvironment.apply_dataset_mappers(
+            '/elsewhere/x.mp3') == '/elsewhere/x.mp3'
+        assert AudioCraftEnvironment.resolve_reference_path(
+            '//reference/manifests/train.jsonl') == \
+            '/mnt/shared/ref/manifests/train.jsonl'
+        assert AudioCraftEnvironment.get_dora_dir() == '/mnt/shared/xps'
+        # the dataset hook applies mappers to path AND zip info path
+        metas = [AudioMeta(path='/old_cluster/data/a.flac', duration=1.0,
+                           sample_rate=16000,
+                           info_path=PathInZip('/old_cluster/data/a.zip:a.json'))]
+        out = clusterify_all_meta(metas)
+        assert out[0].path == '/new_cluster/data/a.wav'
+        assert out[0].info_path.zip_path == '/new_cluster/data/a.zip'
+        # env var beats the config
+        monkeypatch.setenv('AUDIOCRAFT_REFERENCE_DIR', '/override')
+        assert AudioCraftEnvironment.resolve_reference_path(
+            '//reference/x') == '/override/x'
+    finally:
+        AudioCraftEnvironment.reset()
+
+
+def test_environment_defaults_without_config(monkeypatch):
+    from audiocraft_tpu.utils.misc import AudioCraftEnvironment
+    monkeypatch.delenv('AUDIOCRAFT_CONFIG', raising=False)
+    monkeypatch.delenv('AUDIOCRAFT_CLUSTER', raising=False)
+    monkeypatch.delenv('SLURM_JOB_ID', raising=False)
+    monkeypatch.delenv('SLURM_NODELIST', raising=False)
+    monkeypatch.delenv('TPU_WORKER_HOSTNAMES', raising=False)
+    monkeypatch.delenv('JAX_COORDINATOR_ADDRESS', raising=False)
+    AudioCraftEnvironment.reset()
+    try:
+        assert AudioCraftEnvironment.get_cluster() == 'local'
+        assert AudioCraftEnvironment.get_team() == 'default'
+        p = '/plain/path.wav'
+        assert AudioCraftEnvironment.apply_dataset_mappers(p) == p
+    finally:
+        AudioCraftEnvironment.reset()
