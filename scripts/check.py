@@ -230,6 +230,157 @@ def check_types(paths: list) -> list:
                 issues.append(f"{rel}:{node.lineno}: call to "
                               f"'{node.func.id}' does not match its "
                               f"signature: {exc}")
+
+        issues.extend(_check_method_calls(tree, rel, imported,
+                                          load(mod_name), inspect))
+    return issues
+
+
+def _check_method_calls(tree, rel, imported, mod_self, inspect) -> list:
+    """Method-call binding on project classes (mypy-shaped slice 2).
+
+    Resolves ``obj.method(...)`` where ``obj``'s class is statically
+    known — a parameter annotation, a single-class local
+    ``obj = ClassName(...)`` assignment, or ``self`` inside a class
+    body — then (a) flags attributes that don't exist on the class and
+    (b) binds the call against the method's real signature.  The
+    dominant call pattern in this codebase (frozen dataclass modules:
+    ``model.encode(params, x)``) is exactly this shape.
+    """
+    issues = []
+
+    def resolve_class(name):
+        obj = imported.get(name)
+        if obj is None and mod_self is not None:
+            obj = getattr(mod_self, name, None)
+        return obj if inspect.isclass(obj) else None
+
+    def class_of_expr(expr):
+        if isinstance(expr, ast.Call) and isinstance(expr.func, ast.Name):
+            return resolve_class(expr.func.id)
+        return None
+
+    def annotation_class(ann):
+        if isinstance(ann, ast.Name):
+            return resolve_class(ann.id)
+        if isinstance(ann, ast.Constant) and isinstance(ann.value, str):
+            return resolve_class(ann.value)
+        return None
+
+    def check_call(cls, call, var, meth):
+        fields = getattr(cls, '__dataclass_fields__', {})
+        attr = getattr(cls, meth, None)
+        if attr is None:
+            # unknown-attribute flagging only where instance attrs are
+            # statically knowable: a dataclass without dynamic-attr escape
+            # hatches (__post_init__ object.__setattr__ caches, __getattr__
+            # delegation, custom __init__)
+            init = vars(cls).get('__init__')
+            custom_init = (init is not None and getattr(
+                getattr(init, '__code__', None), 'co_filename', '<string>')
+                != '<string>')  # dataclass-generated __init__ is exec'd
+            dynamic = (not fields or meth in fields
+                       or hasattr(cls, '__getattr__')
+                       or '__post_init__' in vars(cls)
+                       or custom_init)
+            if dynamic:
+                return
+            issues.append(f"{rel}:{call.lineno}: '{cls.__name__}' (type of "
+                          f"'{var}') has no attribute '{meth}'")
+            return
+        if isinstance(attr, property) or not callable(attr):
+            return  # value through a property/field: signature unknown
+        if any(isinstance(a, ast.Starred) for a in call.args) or \
+                any(kw.arg is None for kw in call.keywords):
+            return
+        try:
+            sig = inspect.signature(attr)
+        except (TypeError, ValueError):
+            return
+        raw = inspect.getattr_static(cls, meth, None)
+        args = [None] * len(call.args)
+        if inspect.isfunction(attr) and not isinstance(
+                raw, (staticmethod, classmethod)):
+            args = [None] + args  # unbound instance method: self slot
+        try:
+            sig.bind_partial(*args,
+                             **{kw.arg: None for kw in call.keywords})
+        except TypeError as exc:
+            issues.append(f"{rel}:{call.lineno}: call to "
+                          f"'{cls.__name__}.{meth}' does not match its "
+                          f"signature: {exc}")
+
+    # map method FunctionDefs -> enclosing class (for `self.x(...)`)
+    self_class: dict = {}
+    for cnode in ast.walk(tree):
+        if not isinstance(cnode, ast.ClassDef):
+            continue
+        cls = resolve_class(cnode.name)
+        if cls is None:
+            continue
+        for child in cnode.body:
+            if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                deco = {d.id for d in child.decorator_list
+                        if isinstance(d, ast.Name)}
+                if 'staticmethod' in deco or 'classmethod' in deco:
+                    continue
+                if child.args.args and child.args.args[0].arg == 'self':
+                    self_class[id(child)] = cls
+
+    for fn_node in ast.walk(tree):
+        if not isinstance(fn_node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        local: dict = {}
+        if id(fn_node) in self_class:
+            local['self'] = self_class[id(fn_node)]
+        a = fn_node.args
+        for arg in a.posonlyargs + a.args + a.kwonlyargs:
+            cls = annotation_class(arg.annotation) if arg.annotation else None
+            if cls is not None:
+                local[arg.arg] = cls
+        # a name survives only if every assignment in the function gives it
+        # the same statically-known class (reassignment -> unknown)
+        assigned: dict = {}
+        for sub in ast.walk(fn_node):
+            if isinstance(sub, ast.Assign):
+                for tgt in sub.targets:
+                    for leaf in ast.walk(tgt):
+                        if isinstance(leaf, ast.Name):
+                            cls = (class_of_expr(sub.value)
+                                   if tgt is leaf else None)
+                            if leaf.id in assigned and \
+                                    assigned[leaf.id] is not cls:
+                                assigned[leaf.id] = None
+                            else:
+                                assigned[leaf.id] = cls
+            elif isinstance(sub, (ast.AugAssign, ast.AnnAssign,
+                                  ast.NamedExpr)):
+                tgt = getattr(sub, 'target', None)
+                if isinstance(tgt, ast.Name):
+                    assigned[tgt.id] = None
+            elif isinstance(sub, (ast.For, ast.AsyncFor)):
+                for leaf in ast.walk(sub.target):
+                    if isinstance(leaf, ast.Name):
+                        assigned[leaf.id] = None
+            elif isinstance(sub, (ast.withitem,)) and sub.optional_vars:
+                for leaf in ast.walk(sub.optional_vars):
+                    if isinstance(leaf, ast.Name):
+                        assigned[leaf.id] = None
+        for name, cls in assigned.items():
+            if cls is None:
+                local.pop(name, None)
+            else:
+                local[name] = cls
+
+        if not local:
+            continue
+        for sub in ast.walk(fn_node):
+            if (isinstance(sub, ast.Call)
+                    and isinstance(sub.func, ast.Attribute)
+                    and isinstance(sub.func.value, ast.Name)
+                    and sub.func.value.id in local):
+                check_call(local[sub.func.value.id], sub,
+                           sub.func.value.id, sub.func.attr)
     return issues
 
 

@@ -1,0 +1,118 @@
+"""MusicGen-medium (1.5B-class) training point on one chip (VERDICT r3 #3).
+
+The reference trains medium/large with FSDP on GPU clusters
+(/root/reference/audiocraft/models/lm.py:176-177,310); on a single v5e
+chip the question is what fits and what it costs.  Memory math first
+(params ~1.77e9 for dim=1536 x 48 layers incl. cross-attn + heads):
+
+  fp32 masters + adamw: 7.1 + 14.2 GB moments = 21.3 GB  -> cannot fit
+  bf16 masters + adamw: 3.5 + 7.1 GB           = 10.6 GB -> headroom ~5 GB
+                                                   for grads + activations
+
+Cases (run one per invocation: `python perf_train_medium.py CASE`):
+  oom_fp32    allocate fp32 masters + adam moments only (no compile) —
+              records the OOM boundary fast
+  bf16_b4     bf16 masters + adamw, B=4 x S=250 (5 s tokens)
+  bf16_b8     same, B=8
+  bf16_b8_remat  B=8 with per-layer jax.checkpoint
+  bf16_b8_ga2    B=8 with grad_accum=2 (activation memory of B=4)
+
+Launch detached (fresh 48-layer fwd+bwd programs -> long compile budget):
+    setsid bash -c 'PYTHONPATH=/root/repo:$PYTHONPATH timeout 3400 \
+        python scripts/perf_train_medium.py bf16_b4 \
+        > /tmp/perf_medium_bf16_b4.log 2>&1' &
+"""
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiocraft_tpu.utils.misc import enable_compilation_cache
+
+enable_compilation_cache()
+
+import optax  # noqa: E402
+
+from audiocraft_tpu.builders import get_musicgen_lm  # noqa: E402
+from audiocraft_tpu.dist.train import make_lm_train_step  # noqa: E402
+
+S = 250  # 5 s at 50 Hz, the reference's musicgen training uses 30 s; 5 s
+         # keeps activation memory comparable to PERF.md's small-LM table
+
+
+def param_count(tree) -> int:
+    return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(tree)
+               if hasattr(a, 'shape'))
+
+
+def build(checkpointing: bool = False):
+    lm, _ = get_musicgen_lm('medium')
+    if checkpointing:
+        lm = dataclasses.replace(lm, transformer=dataclasses.replace(
+            lm.transformer, checkpointing=True))
+    return lm
+
+
+def bf16_params(lm):
+    params = lm.init(jax.random.PRNGKey(0))
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+
+def run_case(case: str):
+    if case == 'oom_fp32':
+        lm = build()
+        params = lm.init(jax.random.PRNGKey(0))
+        n = param_count(params)
+        print(f"params: {n/1e9:.2f}B, fp32 masters {n*4/2**30:.1f} GiB",
+              flush=True)
+        opt = optax.adamw(1e-4)
+        try:
+            state = opt.init(params)
+            jax.block_until_ready(jax.tree.leaves(state)[0])
+            print("fp32 adamw moments allocated — NO OOM (unexpected)")
+        except Exception as exc:  # RESOURCE_EXHAUSTED
+            print(f"fp32 adamw OOM as predicted: {type(exc).__name__}: "
+                  f"{str(exc)[:160]}", flush=True)
+        return
+
+    B = {'bf16_b4': 4, 'bf16_b8': 8, 'bf16_b8_remat': 8, 'bf16_b8_ga2': 8}[case]
+    ga = 2 if case.endswith('ga2') else 1
+    lm = build(checkpointing=case.endswith('remat'))
+    params = bf16_params(lm)
+    n = param_count(params)
+    print(f"params: {n/1e9:.2f}B bf16 ({n*2/2**30:.1f} GiB) | B={B} S={S} "
+          f"grad_accum={ga} remat={case.endswith('remat')}", flush=True)
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+    step = jax.jit(make_lm_train_step(lm, opt, grad_accum=ga),
+                   donate_argnums=(0, 1))
+    codes = [jnp.asarray(np.random.RandomState(i).randint(0, 2048, (B, 4, S)))
+             for i in range(2)]
+    cond = jnp.asarray(np.random.RandomState(9).randn(B, 6, lm.dim)
+                       .astype(np.float32))
+    cmask = jnp.ones((B, 6), jnp.int32)
+    t0 = time.perf_counter()
+    for i in range(4):  # >=4 warmups (axon post-compile overhead)
+        params, opt_state, m = step(params, opt_state, codes[i % 2],
+                                    {'description': (cond, cmask)})
+    print(f"compile+warmup: {time.perf_counter()-t0:.0f} s, "
+          f"loss {float(m['loss']):.3f}", flush=True)
+    iters = 6
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, m = step(params, opt_state, codes[i % 2],
+                                    {'description': (cond, cmask)})
+    float(m['loss'])
+    dt = (time.perf_counter() - t0) / iters
+    flops = 6.0 * n * B * S
+    print(f"{case}: {dt*1e3:.1f} ms/step | {B*4*S/dt/1e3:.1f} k codes/s | "
+          f"{flops/dt/1e12:.1f} TFLOP/s model", flush=True)
+
+
+if __name__ == '__main__':
+    run_case(sys.argv[1])
