@@ -16,11 +16,20 @@ Cases (run one per invocation: `python perf_train_medium.py CASE`):
   bf16_b8     same, B=8
   bf16_b8_remat  B=8 with per-layer jax.checkpoint
   bf16_b8_ga2    B=8 with grad_accum=2 (activation memory of B=4)
+  bf16_s1500_b1  B=1 x S=1500 — the reference's REAL 30 s training
+                 segment (dataset.segment_duration=30 -> 1500 tokens);
+                 attn_kernel='auto' routes the Pallas flash kernel here
+                 (the einsum backward's fp32 [B,H,S,S] scores cannot fit)
+  bf16_s1500_b2  same, B=2
+  bf16_s1500_b2_remat  B=2 x S=1500 with per-layer jax.checkpoint
+                 (fallback if plain b2 activations OOM)
 
-Launch detached (fresh 48-layer fwd+bwd programs -> long compile budget):
+Launch detached (fresh 48-layer fwd+bwd programs -> long compile budget;
+S=1500 cases add a Mosaic flash-kernel compile, 10-20 min):
     setsid bash -c 'PYTHONPATH=/root/repo:$PYTHONPATH timeout 3400 \
         python scripts/perf_train_medium.py bf16_b4 \
         > /tmp/perf_medium_bf16_b4.log 2>&1' &
+or the whole battery: scripts/run_perf_medium_all.sh
 """
 import dataclasses
 import sys
@@ -39,8 +48,8 @@ import optax  # noqa: E402
 from audiocraft_tpu.builders import get_musicgen_lm  # noqa: E402
 from audiocraft_tpu.dist.train import make_lm_train_step  # noqa: E402
 
-S = 250  # 5 s at 50 Hz, the reference's musicgen training uses 30 s; 5 s
-         # keeps activation memory comparable to PERF.md's small-LM table
+S = 250  # 5 s at 50 Hz for the short cases; *_s1500_* cases override to
+         # the reference's real 30 s segment length (1500 tokens at 50 Hz)
 
 
 def param_count(tree) -> int:
@@ -80,18 +89,21 @@ def run_case(case: str):
                   f"{str(exc)[:160]}", flush=True)
         return
 
-    B = {'bf16_b4': 4, 'bf16_b8': 8, 'bf16_b8_remat': 8, 'bf16_b8_ga2': 8}[case]
+    B = {'bf16_b4': 4, 'bf16_b8': 8, 'bf16_b8_remat': 8, 'bf16_b8_ga2': 8,
+         'bf16_s1500_b1': 1, 'bf16_s1500_b2': 2, 'bf16_s1500_b2_remat': 2}[case]
+    seq = 1500 if '_s1500_' in case else S
     ga = 2 if case.endswith('ga2') else 1
     lm = build(checkpointing=case.endswith('remat'))
     params = bf16_params(lm)
     n = param_count(params)
-    print(f"params: {n/1e9:.2f}B bf16 ({n*2/2**30:.1f} GiB) | B={B} S={S} "
+    print(f"params: {n/1e9:.2f}B bf16 ({n*2/2**30:.1f} GiB) | B={B} S={seq} "
           f"grad_accum={ga} remat={case.endswith('remat')}", flush=True)
     opt = optax.adamw(1e-4)
     opt_state = opt.init(params)
     step = jax.jit(make_lm_train_step(lm, opt, grad_accum=ga),
                    donate_argnums=(0, 1))
-    codes = [jnp.asarray(np.random.RandomState(i).randint(0, 2048, (B, 4, S)))
+    codes = [jnp.asarray(np.random.RandomState(i).randint(0, 2048,
+                                                          (B, 4, seq)))
              for i in range(2)]
     cond = jnp.asarray(np.random.RandomState(9).randn(B, 6, lm.dim)
                        .astype(np.float32))
@@ -109,8 +121,8 @@ def run_case(case: str):
                                     {'description': (cond, cmask)})
     float(m['loss'])
     dt = (time.perf_counter() - t0) / iters
-    flops = 6.0 * n * B * S
-    print(f"{case}: {dt*1e3:.1f} ms/step | {B*4*S/dt/1e3:.1f} k codes/s | "
+    flops = 6.0 * n * B * seq
+    print(f"{case}: {dt*1e3:.1f} ms/step | {B*4*seq/dt/1e3:.1f} k codes/s | "
           f"{flops/dt/1e12:.1f} TFLOP/s model", flush=True)
 
 
