@@ -256,7 +256,11 @@ def _accumulated_grads(grads_of, params, codes, condition_tensors,
         (l, _), g = grads_of(params, x[0], x[1])
         return (jax.tree.map(jnp.add, gsum, g), lsum + l), ()
 
-    zeros = jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), params)
+    # Accumulate in the gradient's own dtype (= params dtype): an fp32
+    # accumulator for bf16 masters costs 2x params bytes and OOMed
+    # MusicGen-medium on one chip (26.7 G vs 15.75 G HBM, PERF.md); fp32
+    # params keep an fp32 accumulator, so the exactness tests are unchanged.
+    zeros = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), params)
     (gsum, lsum), _ = jax.lax.scan(body, (zeros, jnp.zeros(())), xs)
     return lsum / grad_accum, jax.tree.map(lambda g: g / grad_accum, gsum)
 

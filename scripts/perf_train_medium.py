@@ -19,10 +19,12 @@ Cases (run one per invocation: `python perf_train_medium.py CASE`):
   bf16_s1500_b1  B=1 x S=1500 — the reference's REAL 30 s training
                  segment (dataset.segment_duration=30 -> 1500 tokens);
                  attn_kernel='auto' routes the Pallas flash kernel here
-                 (the einsum backward's fp32 [B,H,S,S] scores cannot fit)
-  bf16_s1500_b2  same, B=2
+                 (the einsum backward's fp32 [B,H,S,S] scores cannot fit).
+                 Measured: OOMs by 489 MB without remat (16.22/15.75 G)
+  bf16_s1500_b1_remat  B=1 x S=1500 with per-layer jax.checkpoint
+  bf16_s1500_b2  same, B=2 (expected OOM without remat)
   bf16_s1500_b2_remat  B=2 x S=1500 with per-layer jax.checkpoint
-                 (fallback if plain b2 activations OOM)
+  bf16_s1500_b2_ga2    B=2 x S=1500 via grad_accum=2 (B=1 activations)
 
 Launch detached (fresh 48-layer fwd+bwd programs -> long compile budget;
 S=1500 cases add a Mosaic flash-kernel compile, 10-20 min):
@@ -60,8 +62,7 @@ def param_count(tree) -> int:
 def build(checkpointing: bool = False):
     lm, _ = get_musicgen_lm('medium')
     if checkpointing:
-        lm = dataclasses.replace(lm, transformer=dataclasses.replace(
-            lm.transformer, checkpointing=True))
+        lm = dataclasses.replace(lm, checkpointing=True)
     return lm
 
 
@@ -82,15 +83,24 @@ def run_case(case: str):
         opt = optax.adamw(1e-4)
         try:
             state = opt.init(params)
-            jax.block_until_ready(jax.tree.leaves(state)[0])
-            print("fp32 adamw moments allocated — NO OOM (unexpected)")
+            # block_until_ready does NOT materialize on axon (CLAUDE.md);
+            # force every master + moment buffer live simultaneously by
+            # summing them all in one jitted program and fetching a scalar.
+            touch = jax.jit(lambda p, s: sum(
+                jnp.sum(l).astype(jnp.float32)
+                for l in jax.tree.leaves((p, s))
+                if hasattr(l, 'dtype') and jnp.issubdtype(l.dtype, jnp.floating)))
+            print(f"touch scalar: {float(touch(params, state)):.3f} — "
+                  "fp32 masters + adamw moments fit (NO OOM)", flush=True)
         except Exception as exc:  # RESOURCE_EXHAUSTED
             print(f"fp32 adamw OOM as predicted: {type(exc).__name__}: "
-                  f"{str(exc)[:160]}", flush=True)
+                  f"{str(exc)[:200]}", flush=True)
         return
 
     B = {'bf16_b4': 4, 'bf16_b8': 8, 'bf16_b8_remat': 8, 'bf16_b8_ga2': 8,
-         'bf16_s1500_b1': 1, 'bf16_s1500_b2': 2, 'bf16_s1500_b2_remat': 2}[case]
+         'bf16_s1500_b1': 1, 'bf16_s1500_b1_remat': 1,
+         'bf16_s1500_b2': 2, 'bf16_s1500_b2_remat': 2,
+         'bf16_s1500_b2_ga2': 2}[case]
     seq = 1500 if '_s1500_' in case else S
     ga = 2 if case.endswith('ga2') else 1
     lm = build(checkpointing=case.endswith('remat'))

@@ -7,8 +7,12 @@
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
-for case in oom_fp32 bf16_b4 bf16_b8 bf16_b8_remat bf16_b8_ga2 \
-            bf16_s1500_b1 bf16_s1500_b2; do
+CASES=("$@")
+if [ ${#CASES[@]} -eq 0 ]; then
+  CASES=(oom_fp32 bf16_b4 bf16_b8 bf16_b8_remat bf16_b8_ga2
+         bf16_s1500_b1_remat bf16_s1500_b2_remat bf16_s1500_b2_ga2)
+fi
+for case in "${CASES[@]}"; do
   log=/tmp/perf_medium_${case}.log
   echo "=== $case -> $log ==="
   timeout 3400 python scripts/perf_train_medium.py "$case" > "$log" 2>&1
